@@ -374,9 +374,16 @@ def aggregate_candidates(df: pd.DataFrame, group_cols: list[str]) -> pd.DataFram
             group_cols + ["serial", "conf", "rank"]]
     d = df.sort_values("seq", kind="stable").reset_index(drop=True)
     d["norm"] = normalize_ambiguous(d["serial"], position_aware=True)
+    # Determinism across shuffles: the A1 score is a float SUM whose value
+    # would depend on addition order on an engine that shuffles.  We sum
+    # half-even-rounded integer micro-units (1e-9) instead — exact and
+    # order-independent, numerically indistinguishable from the reference's
+    # float sum (ocr_adapter_improved.py:1463).  Spark side mirrors this with
+    # bround(conf*1e9) cast to long.
+    d["iconf"] = np.round(d["conf"].to_numpy(dtype=float) * 1e9).astype(np.int64)
     keys = group_cols + ["norm"]
     g = d.groupby(keys, sort=False)
-    agg = g.agg(score=("conf", "sum"), first_seq=("seq", "min")).reset_index()
+    agg = g.agg(score=("iconf", "sum"), first_seq=("seq", "min")).reset_index()
     # arg-max with first-occurrence tie-break: stable sort by conf desc
     best = (d.sort_values(["conf", "seq"], ascending=[False, True], kind="stable")
               .groupby(keys, sort=False).head(1)[keys + ["serial", "conf"]])

@@ -1,0 +1,317 @@
+"""End-to-end extraction pipeline — idiomatic Spark composition.
+
+Topology (SURVEY.md §3.2/§3.3 re-expression):
+
+    docs ──explode_salted──> span rows ──repartition(doc_id, salt)──┐
+      ├─ text  : pure Catalyst (regexp_replace/trim/filter)          │
+      ├─ html  : mapInPandas(extract_html)   [Arrow batches]         │
+      ├─ pdf   : mapInPandas(extract_pdf)                            │
+      └─ image : progressive passes 1..K                             │
+                 pass k = mapInPandas(pass_candidates) on spans      │
+                          STILL UNRESOLVED after pass k-1            │
+                          (left-anti join on resolved ids — the      │
+                          reference's early-stop control flow as     │
+                          data flow, ocr_adapter_improved.py:        │
+                          1432-1456)                                 │
+                 A1 ranking, A2 merge: pure JVM window functions     │
+    unionByName ──two-phase reassembly (partial arrays per           │
+    (doc_id,salt), flatten+array_sort per doc)──> extracted docs
+
+Everything relational (A1, A2, early-stop sets, ordering, reassembly) runs
+JVM-side under whole-stage codegen; Python only touches Arrow batches inside
+the three extraction kernels — no per-row Python anywhere (north_rule).
+
+The per-doc output is bit-identical to the pandas oracle
+(`sources.corpus.extract_docs_oracle`): the only floating-point values that
+cross a shuffle (A1 scores) are summed as 1e-9 integer micro-units, so no
+result depends on partitioning or addition order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from ..config import ExtractConfig, DEFAULT_CONFIG
+from ..operators.skew import explode_salted, repartition_salted
+
+ROW_SCHEMA = ("doc_id string, salt int, span_pos int, offset int, "
+              "out_rank int, kind string, text string, media_ref string")
+
+CAND_SCHEMA = ("doc_id string, salt int, span_pos int, offset int, "
+               "media_ref string, seq long, serial string, norm string, "
+               "conf double")
+
+
+# --------------------------------------------------------------------------- #
+# Arrow-batch kernel wrappers
+# --------------------------------------------------------------------------- #
+
+def _wrap_block_kernel(kernel, cfg_dict: dict):
+    """mapInPandas wrapper for the html/pdf kernels (span rows in,
+    extracted rows out, salt carried through)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..config import ExtractConfig
+        cfg = ExtractConfig(**cfg_dict)
+        for b in batches:
+            if b.empty:
+                continue
+            out = kernel(b[["doc_id", "span_pos", "offset", "text"]], cfg)
+            out = out.merge(
+                b[["doc_id", "span_pos", "salt"]].drop_duplicates(),
+                on=["doc_id", "span_pos"], how="left")
+            yield out[["doc_id", "salt", "span_pos", "offset", "out_rank",
+                       "kind", "text", "media_ref"]]
+    return fn
+
+
+def _ocr_pass_kernel(cfg_dict: dict):
+    """mapInPandas wrapper for one OCR pass: input rows carry ``pass_text``;
+    output = candidate rows with normalized keys (A1/A2 happen JVM-side)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..config import ExtractConfig
+        from ..operators.ocr_extract import parse_tokens, pass_candidates
+        cfg = ExtractConfig(**cfg_dict)
+        for b in batches:
+            if b.empty:
+                continue
+            b = b.reset_index(drop=True)
+            toks = parse_tokens(b["pass_text"])
+            cands = pass_candidates(toks, cfg)
+            if cands.empty:
+                continue
+            r = cands["row"].to_numpy()
+            out = pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy()[r],
+                "salt": b["salt"].to_numpy()[r],
+                "span_pos": b["span_pos"].to_numpy()[r],
+                "offset": b["offset"].to_numpy()[r],
+                "media_ref": b["media_ref"].to_numpy()[r],
+                "seq": cands["seq"].to_numpy(),
+                "serial": cands["serial"].to_numpy(),
+                "norm": cands["norm"].to_numpy(),
+                "conf": cands["conf"].to_numpy(),
+            })
+            yield out
+    return fn
+
+
+def _fused_ocr_kernel(cfg_dict: dict):
+    """Fused mode: all passes + A1 + A2 inside one Arrow batch (span rows are
+    self-contained).  Zero extra shuffles; same result as staged mode."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..config import ExtractConfig
+        from ..operators.ocr_extract import recover_ocr
+        cfg = ExtractConfig(**cfg_dict)
+        for b in batches:
+            if b.empty:
+                continue
+            out = recover_ocr(
+                b[["doc_id", "span_pos", "offset", "media_ref", "text"]], cfg)
+            out = out.merge(
+                b[["doc_id", "span_pos", "salt"]].drop_duplicates(),
+                on=["doc_id", "span_pos"], how="left")
+            yield out[["doc_id", "salt", "span_pos", "offset", "out_rank",
+                       "kind", "text", "media_ref"]]
+    return fn
+
+
+# --------------------------------------------------------------------------- #
+# Branch plans
+# --------------------------------------------------------------------------- #
+
+def text_branch(rows: DataFrame) -> DataFrame:
+    """kind='text' passthrough — pure Catalyst, no Python at all."""
+    t = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                                r"\s+", " "))
+    return (rows
+            .filter(F.col("kind") == "text")
+            .withColumn("text", t)
+            .filter(F.length("text") > 0)
+            .select("doc_id", "salt", "span_pos", "offset",
+                    F.lit(0).alias("out_rank"),
+                    F.lit("main_text").alias("kind"), "text",
+                    F.lit(None).cast("string").alias("media_ref")))
+
+
+def html_branch(rows: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    from ..operators.html_extract import extract_html
+    return (rows.filter(F.col("kind") == "html")
+            .select("doc_id", "salt", "span_pos", "offset", "text")
+            .mapInPandas(_wrap_block_kernel(extract_html, cfg.as_dict()),
+                         schema=ROW_SCHEMA))
+
+
+def pdf_branch(rows: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    from ..operators.pdf_extract import extract_pdf
+    return (rows.filter(F.col("kind") == "pdf")
+            .select("doc_id", "salt", "span_pos", "offset", "text")
+            .mapInPandas(_wrap_block_kernel(extract_pdf, cfg.as_dict()),
+                         schema=ROW_SCHEMA))
+
+
+def ocr_branch_fused(rows: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    return (rows.filter(F.col("kind") == "image")
+            .select("doc_id", "salt", "span_pos", "offset", "media_ref", "text")
+            .mapInPandas(_fused_ocr_kernel(cfg.as_dict()), schema=ROW_SCHEMA))
+
+
+def _a1_rank(cands: DataFrame) -> DataFrame:
+    """A1 JVM-side (ocr_adapter_improved.py:1458-1469): per (span, norm)
+    bucket sum quantized confidences, keep the arg-max variant (first
+    occurrence wins ties), rank buckets by (score desc, first_seq asc)."""
+    wnorm = W.partitionBy("doc_id", "span_pos", "norm")
+    wrank = W.partitionBy("doc_id", "span_pos").orderBy(
+        F.desc("score"), F.asc("first_seq"))
+    return (cands
+            .withColumn("iconf", F.bround(F.col("conf") * 1e9, 0).cast("long"))
+            .withColumn("score", F.sum("iconf").over(wnorm))
+            .withColumn("first_seq", F.min("seq").over(wnorm))
+            .withColumn("rn", F.row_number().over(
+                wnorm.orderBy(F.desc("conf"), F.asc("seq"))))
+            .filter(F.col("rn") == 1)
+            .withColumn("a1_rank", F.row_number().over(wrank) - 1)
+            .select("doc_id", "salt", "span_pos", "offset", "media_ref",
+                    "serial", "conf", "a1_rank"))
+
+
+def _a2_merge(all_passes: DataFrame) -> DataFrame:
+    """A2 JVM-side (ocr_adapter_improved.py:1310-1343): closed-form sequential
+    merge fold over occurrence order (pass_idx, a1_rank); cap 1.0; final rank
+    by (conf desc, first occurrence asc)."""
+    wspan = W.partitionBy("doc_id", "span_pos")
+    wser = W.partitionBy("doc_id", "span_pos", "serial")
+    d = (all_passes
+         .withColumn("seq2", F.row_number().over(
+             wspan.orderBy(F.asc("pass_idx"), F.asc("a1_rank"))))
+         .withColumn("n", F.count(F.lit(1)).over(wser))
+         .withColumn("j", F.row_number().over(wser.orderBy(F.asc("seq2"))))
+         .withColumn("contrib",
+                     F.col("conf") + F.lit(0.05) *
+                     F.when(F.col("j") == 1, F.col("n") - 1)
+                      .otherwise(F.col("n") - F.col("j") + 1))
+         .withColumn("merged", F.max("contrib").over(wser))
+         .withColumn("first_seq2", F.min("seq2").over(wser))
+         .filter(F.col("j") == 1)
+         .withColumn("conf2", F.least(F.lit(1.0), F.col("merged")))
+         .withColumn("out_rank", F.row_number().over(
+             wspan.orderBy(F.desc("conf2"), F.asc("first_seq2"))) - 1))
+    return d.select("doc_id", "salt", "span_pos", "offset",
+                    F.col("out_rank").cast("int").alias("out_rank"),
+                    F.lit("ocr_text").alias("kind"),
+                    F.col("serial").alias("text"), "media_ref")
+
+
+def ocr_branch_staged(rows: DataFrame, cfg: ExtractConfig,
+                      on_stage=None) -> DataFrame:
+    """Progressive OCR passes as staged anti-joins (the north-rule topology).
+
+    ``on_stage(pass_idx, a1_df)`` is an optional checkpoint hook — the
+    resumable pipeline (plans.checkpoint) persists each pass's A1 output and
+    feeds committed results back instead of recomputing.
+    """
+    img = (rows.filter(F.col("kind") == "image")
+           .select("doc_id", "salt", "span_pos", "offset", "media_ref",
+                   F.split(F.coalesce(F.col("text"), F.lit("")), r"\|")
+                    .alias("passes"))
+           .withColumn("n_passes", F.least(F.size("passes"),
+                                           F.lit(cfg.max_passes))))
+    img = img.persist()
+    unresolved = img
+    pass_outputs: list[DataFrame] = []
+    for p in range(cfg.max_passes):
+        stage_in = (unresolved
+                    .filter(F.col("n_passes") > p)
+                    .withColumn("pass_text",
+                                F.element_at("passes", p + 1)))
+        cands = (stage_in
+                 .select("doc_id", "salt", "span_pos", "offset", "media_ref",
+                         "pass_text")
+                 .mapInPandas(_ocr_pass_kernel(cfg.as_dict()),
+                              schema=CAND_SCHEMA))
+        a1 = _a1_rank(cands).withColumn("pass_idx", F.lit(p)).persist()
+        if on_stage is not None:
+            a1 = on_stage(p, a1)
+        pass_outputs.append(a1)
+        if p < cfg.max_passes - 1:
+            resolved = (a1.groupBy("doc_id", "span_pos")
+                        .agg(F.max("conf").alias("best"))
+                        .filter(F.col("best") >= cfg.early_stop_confidence)
+                        .select("doc_id", "span_pos"))
+            # early stop as data flow: only unresolved spans reach pass p+1
+            unresolved = unresolved.join(resolved, ["doc_id", "span_pos"],
+                                         "left_anti")
+    allp = pass_outputs[0]
+    for nxt in pass_outputs[1:]:
+        allp = allp.unionByName(nxt)
+    return _a2_merge(allp)
+
+
+# --------------------------------------------------------------------------- #
+# Assembly + entry point
+# --------------------------------------------------------------------------- #
+
+def reassemble(extracted_rows: DataFrame, doc_spine: DataFrame) -> DataFrame:
+    """Two-phase ordered reassembly (skew-safe, SURVEY.md §7 hard part (a)).
+
+    Phase 1 aggregates per (doc_id, salt) into sorted partial arrays; phase 2
+    flattens+sorts per doc and assigns the dense ``order``.  Docs with no
+    output get an empty spans array (spine join).
+    """
+    key = F.struct(
+        F.col("offset").alias("offset"),
+        F.col("span_pos").alias("span_pos"),
+        F.col("out_rank").alias("out_rank"),
+        F.col("kind").alias("kind"),
+        F.col("text").alias("text"),
+        F.col("media_ref").alias("media_ref"))
+    partial = (extracted_rows
+               .groupBy("doc_id", "salt")
+               .agg(F.sort_array(F.collect_list(key)).alias("partial")))
+    assembled = (partial
+                 .groupBy("doc_id")
+                 .agg(F.array_sort(F.flatten(F.collect_list("partial")))
+                      .alias("ordered"))
+                 .select(
+                     "doc_id",
+                     F.transform(
+                         "ordered",
+                         lambda s, i: F.struct(
+                             s["kind"].alias("kind"),
+                             s["text"].alias("text"),
+                             s["media_ref"].alias("media_ref"),
+                             i.cast("int").alias("order"))).alias("spans")))
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,order:int>>")
+    return (doc_spine.select("doc_id").distinct()
+            .join(assembled, "doc_id", "left")
+            .select("doc_id", F.coalesce("spans", empty).alias("spans")))
+
+
+def extract_rows(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
+                 mode: str = "staged", num_partitions: int | None = None,
+                 on_stage=None) -> DataFrame:
+    """docs -> flat extracted rows (pre-assembly)."""
+    rows = repartition_salted(explode_salted(docs, cfg), num_partitions)
+    branches = [
+        text_branch(rows),
+        html_branch(rows, cfg),
+        pdf_branch(rows, cfg),
+        (ocr_branch_staged(rows, cfg, on_stage) if mode == "staged"
+         else ocr_branch_fused(rows, cfg)),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def extract_docs(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
+                 mode: str = "staged",
+                 num_partitions: int | None = None) -> DataFrame:
+    """The flagship plan: docs(doc_id, spans[offset-ordered]) ->
+    extracted(doc_id, spans[(kind,text,media_ref,order)])."""
+    return reassemble(extract_rows(docs, cfg, mode, num_partitions), docs)

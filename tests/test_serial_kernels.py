@@ -98,12 +98,14 @@ def naive_merge_passes(pairs: list[tuple[str, float]]) -> list[tuple[str, float]
 
 
 def naive_aggregate(pairs: list[tuple[str, float]]) -> list[tuple[str, float]]:
-    # ocr_adapter_improved.py:1458-1469, literal
-    score: dict[str, float] = {}
+    # ocr_adapter_improved.py:1458-1469, literal — except the score sum uses
+    # the same 1e-9 integer quantization as the production kernel (see
+    # serials.aggregate_candidates determinism note)
+    score: dict[str, int] = {}
     best: dict[str, tuple[str, float]] = {}
     for s, c in pairs:
         norm = naive_normalize(s, position_aware=True)
-        score[norm] = score.get(norm, 0.0) + c
+        score[norm] = score.get(norm, 0) + int(np.round(c * 1e9))
         if norm not in best or c > best[norm][1]:
             best[norm] = (s, c)
     ordered = sorted(score.items(), key=lambda kv: kv[1], reverse=True)
