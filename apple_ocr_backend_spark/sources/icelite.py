@@ -1,0 +1,105 @@
+"""icelite — an Iceberg-*semantics* local table layer.
+
+No Iceberg/Delta jars ship in this environment (SURVEY.md §7), so this module
+provides the same commit semantics over plain Parquet + a JSON snapshot log:
+
+* data files are written to a staging dir and **atomically renamed** into
+  place; a snapshot JSON (id, parent id, data dirs, summary, per-partition
+  lineage) is also written via write-temp + ``os.rename`` — the rename is the
+  commit point, so a killed job can never expose partial data (readers only
+  see data dirs referenced by committed snapshots);
+* ``read()`` unions the data dirs of the committed snapshot chain;
+* the call sites (`append`, `read`, `last_snapshot`) bind 1:1 to a real
+  Iceberg catalog (``df.writeTo(tbl).append()`` / ``spark.read.table``) when
+  the runtime jar is present — only this module would change.
+
+Reference analog: the SQLite results store + JSONL structured logs
+(``app/db.py:61-91``, ``app/utils/logging.py:62-135``) — here commits carry
+lineage + metrics instead of per-request log lines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAP_RE = re.compile(r"^v(\d+)\.json$")
+
+
+class Table:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "_staging"), exist_ok=True)
+
+    # ------------------------------------------------------------------ #
+    def snapshots(self) -> list[dict]:
+        snaps = []
+        snap_dir = os.path.join(self.path, "snapshots")
+        for name in os.listdir(snap_dir):
+            m = _SNAP_RE.match(name)
+            if m:
+                with open(os.path.join(snap_dir, name)) as f:
+                    snaps.append(json.load(f))
+        snaps.sort(key=lambda s: s["snapshot_id"])
+        # only the consecutive chain from 1 is committed state
+        chain = []
+        for i, s in enumerate(snaps, start=1):
+            if s["snapshot_id"] != i:
+                break
+            chain.append(s)
+        return chain
+
+    def last_snapshot(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    # ------------------------------------------------------------------ #
+    def append(self, df: DataFrame, operation: str = "append",
+               summary: dict | None = None,
+               lineage: list[dict] | None = None) -> int:
+        """Write df as a new data dir + commit a snapshot. Returns snapshot id."""
+        data_name = f"{uuid.uuid4().hex}"
+        staging = os.path.join(self.path, "_staging", data_name)
+        df.write.mode("overwrite").parquet(staging)
+        final = os.path.join(self.path, "data", data_name)
+        os.rename(staging, final)  # atomic on one filesystem
+
+        parent = self.last_snapshot()
+        sid = (parent["snapshot_id"] + 1) if parent else 1
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "committed_at": time.time(),
+            "operation": operation,
+            "data_dirs": [f"data/{data_name}"],
+            "summary": summary or {},
+            "lineage": lineage or [],
+        }
+        tmp = os.path.join(self.path, "_staging", f"snap_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.path, "snapshots", f"v{sid}.json"))
+        return sid
+
+    # ------------------------------------------------------------------ #
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        dirs = [os.path.join(self.path, d)
+                for s in self.snapshots() for d in s["data_dirs"]]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def committed_units(self, key: str = "unit") -> set:
+        """Set of work-unit markers recorded in snapshot summaries (the
+        resume done-set)."""
+        return {s["summary"][key] for s in self.snapshots()
+                if key in s.get("summary", {})}

@@ -1,0 +1,67 @@
+"""Kill/resume semantics (FIXTURES.md §6): a job killed between bucket commits
+resumes from the last committed snapshot, reprocesses nothing, and the final
+result equals the single-run golden exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from apple_ocr_backend_spark.config import ExtractConfig
+from apple_ocr_backend_spark.sources.corpus import make_corpus, extract_docs_oracle
+from apple_ocr_backend_spark.plans.checkpoint import run_resumable
+from tests.test_pipeline_parity import _to_spark_docs, _spans_map
+
+CFG = ExtractConfig()
+
+
+def test_kill_and_resume(spark, tmp_path):
+    docs = make_corpus(60, seed=5)
+    golden = _spans_map(extract_docs_oracle(docs, CFG))
+    sdf = _to_spark_docs(spark, docs)
+    tdir = str(tmp_path / "extracted")
+
+    # run 1: killed after 2 of 4 bucket commits
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, sdf, tdir, CFG, n_buckets=4, mode="fused",
+                      run_id="r1", fail_after=2)
+
+    # run 2: resumes — exactly the 2 uncommitted buckets are processed
+    res = run_resumable(spark, sdf, tdir, CFG, n_buckets=4, mode="fused",
+                        run_id="r2")
+    assert sorted(res["skipped"]) == sorted(res["table"].committed_units("bucket") -
+                                            set(res["processed"]))
+    assert len(res["skipped"]) == 2 and len(res["processed"]) == 2
+
+    # committed result equals the golden, no dupes / no loss
+    out = res["table"].read(spark).toPandas()
+    assert len(out) == len(docs)
+    assert _spans_map(out) == golden
+
+    # run 3: everything committed -> full skip, zero reprocessing
+    res3 = run_resumable(spark, sdf, tdir, CFG, n_buckets=4, mode="fused",
+                         run_id="r3")
+    assert res3["processed"] == [] and len(res3["skipped"]) == 4
+
+    # lineage rows present per committed snapshot, with partition granularity
+    snaps = res["table"].snapshots()
+    assert len(snaps) == 4
+    for s in snaps:
+        assert s["summary"]["docs_in"] > 0
+        assert len(s["lineage"]) >= 1
+        for row in s["lineage"]:
+            assert {"run_id", "stage", "bucket", "partition_id", "doc_count",
+                    "span_count", "bytes", "wall_ms"} <= set(row)
+
+
+def test_snapshot_chain_ignores_orphans(spark, tmp_path):
+    """Data dirs written without a committed snapshot are invisible."""
+    import os
+    from apple_ocr_backend_spark.sources.icelite import Table
+    t = Table(str(tmp_path / "t"))
+    df = spark.range(5).toDF("x")
+    t.append(df, summary={"unit": 0})
+    # simulate a kill after data write, before snapshot commit: orphan dir
+    df.write.mode("overwrite").parquet(os.path.join(t.path, "data", "orphan"))
+    got = t.read(spark)
+    assert got.count() == 5
+    assert t.committed_units() == {0}
