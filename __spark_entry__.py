@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline (interleaved docs
+derived from the sf0.001 documents table -> ordered extracted spans).
+``queries()``/``oracle_sql()`` expose the full operator catalog
+(apple_ocr_backend_spark.plans.catalog): every SURVEY.md §2 operator family
+plus the training-data ops (dedup, ANN search, text analysis, multimodal
+plumbing), each with a DuckDB oracle except the two end-to-end extraction
+entries (non-SQL-expressible; pinned by the pytest parity suite instead).
 """
 
 from __future__ import annotations
@@ -15,24 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: batch main-content extraction over interleaved text+media
+    docs built from /root/testdata/sf0.001 (html strip + pdf layout parse +
+    OCR serial recovery, staged early-stop, skew-aware salting)."""
+    from apple_ocr_backend_spark.plans.catalog import _q_extract_staged
+    return _q_extract_staged(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from apple_ocr_backend_spark.plans.catalog import queries as q
+    return q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from apple_ocr_backend_spark.plans.catalog import oracle_sql as o
+    return o()

@@ -1,0 +1,87 @@
+"""Text-analysis column builders — pure JVM expressions (no Python).
+
+Large-scale training-data pipeline primitives over a ``text`` column:
+language ID (stopword-ratio heuristic), quality scoring, token counting,
+document fingerprinting.  Every builder returns a Column; the matching
+DuckDB oracle SQL lives in ``plans/catalog.py`` using the same formulas with
+the same quantization, so results hash-match across engines.
+
+Determinism idiom: any float that is compared or output is quantized with
+``floor(x * SCALE)`` — floor of an identically-computed double is
+bit-deterministic in both engines (no round-half ambiguity, no sum-order
+dependence because sums are over integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio_q(text: Column, scale: int = 1_000_000) -> Column:
+    """floor(stopword_tokens / tokens * scale) as bigint."""
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.floor(stop / F.size(toks) * scale).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """'en' when >= 5% of tokens are English stopwords, else 'unk' —
+    an n-gram/stopword heuristic language detector."""
+    return F.when(stopword_ratio_q(text) >= 50_000, F.lit("en")).otherwise("unk")
+
+
+def distinct_token_ratio_q(text: Column, scale: int = 1_000_000) -> Column:
+    toks = tokens(text)
+    return F.floor(F.size(F.array_distinct(toks)) / F.size(toks) * scale).cast("long")
+
+
+def alpha_ratio_q(text: Column, scale: int = 1_000_000) -> Column:
+    """alphabetic chars / total chars (quality signal: punctuation soup
+    scores low)."""
+    total = F.greatest(F.length(text), F.lit(1))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.floor(alpha / total * scale).cast("long")
+
+
+def quality_score_q(text: Column, scale: int = 1_000_000) -> Column:
+    """Composite document-quality score in [0, 1] * scale (long):
+    0.5*min(tokens/50,1) + 0.3*distinct_ratio + 0.2*alpha_ratio."""
+    toks = tokens(text)
+    n = F.size(toks)
+    len_part = F.least(n / F.lit(50.0), F.lit(1.0)) * 0.5
+    distinct_part = (F.size(F.array_distinct(toks)) / n) * 0.3
+    alpha_part = (F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+                  / F.greatest(F.length(text), F.lit(1))) * 0.2
+    return F.floor((len_part + distinct_part + alpha_part) * scale).cast("long")
+
+
+def char_shingles(text: Column, n: int = 8) -> Column:
+    """Array of n-char shingles (rolling windows) over the text."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+        lambda i: F.substring(text, i, F.lit(n)))
+
+
+def fingerprint(text: Column, n: int = 8) -> Column:
+    """Document fingerprint: lexicographic-min md5 over n-char rolling
+    shingles (a 1-permutation minhash / winnowing-lite signature).
+    md5 is the only hash shared bit-exactly with DuckDB."""
+    return F.array_min(F.transform(char_shingles(text, n), F.md5))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))

@@ -1,0 +1,209 @@
+"""Deduplication operators over a document corpus — scale-first designs.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.  All hashing uses md5
+(the one hash function with bit-identical output in Spark and DuckDB) so the
+catalog oracles can replay every operator in SQL.
+
+Scale notes (100 TB disposition):
+* exact dedup: one shuffle on the digest — the canonical map-side-combinable
+  groupBy; output is keys+counts, never texts.
+* MinHash LSH: cost is O(docs × shingles × k) map-side, then a shuffle on
+  band keys whose buckets are tiny by construction — the self-join never
+  touches non-candidate pairs.  Giant buckets (degenerate band keys) are the
+  skew risk: cap handled by AQE skew-join + the band key's 3-hash width.
+* n-gram Jaccard is the EXACT verifier for LSH candidates — at scale run it
+  only on the candidate pairs, as `jaccard_verify` does.
+* SimHash: 16-bit signatures via integer bit arithmetic — groupBy signature.
+* embedding near-dup: IVF-style — pairs only within the same `label` cell
+  (precomputed coarse cluster), quantized integer dot products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import word_shingles
+
+
+# --------------------------------------------------------------------------- #
+# exact
+# --------------------------------------------------------------------------- #
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: digest -> (count, min id)."""
+    return (df
+            .groupBy(F.md5(F.col(text_col)).alias("digest"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+# --------------------------------------------------------------------------- #
+# MinHash + LSH
+# --------------------------------------------------------------------------- #
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 12, shingle_n: int = 3) -> DataFrame:
+    """k-permutation MinHash: sig_i = min over shingles of md5(i || shingle).
+
+    One explode + one groupBy (map-side combinable mins) — no UDF."""
+    sh = (df.select(id_col, F.explode(word_shingles(F.col(text_col), shingle_n))
+                    .alias("shingle"))
+          .dropDuplicates([id_col, "shingle"]))
+    aggs = [F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle"))))
+            .alias(f"s{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 12,
+                        bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """LSH banding: docs agreeing on any full band of k/bands minhashes become
+    a candidate pair.  Returns (id_a, id_b) with id_a < id_b, distinct."""
+    r = k // bands
+    sig = minhash_signature(df, id_col, text_col, k, shingle_n)
+    band_rows = None
+    for b in range(bands):
+        key = F.concat(*[F.col(f"s{b * r + j}") for j in range(r)])
+        row = sig.select(F.col(id_col).alias("id"),
+                         F.lit(b).alias("band"), key.alias("bkey"))
+        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    a = band_rows.alias("a")
+    bb = band_rows.alias("b")
+    return (a.join(bb, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+# --------------------------------------------------------------------------- #
+# n-gram Jaccard (exact verifier)
+# --------------------------------------------------------------------------- #
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 3,
+                  threshold_q: int = 500_000) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing >= 1 shingle.
+    ``threshold_q`` is the floor-quantized similarity bound (1e6 scale).
+    Returns (id_a, id_b, jaccard_q).  At 100 TB this runs only on LSH
+    candidates (`jaccard_verify`); standalone it is the small-corpus oracle.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(word_shingles(F.col(text_col), shingle_n))
+                    .alias("shingle"))
+          .dropDuplicates(["id", "shingle"]))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a")
+                      .withColumnRenamed("sz", "sz_a"), "id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                      .withColumnRenamed("sz", "sz_b"), "id_b")
+           .withColumn("jaccard_q",
+                       F.floor(F.col("inter")
+                               / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                               * 1_000_000).cast("long"))
+           .filter(F.col("jaccard_q") >= threshold_q)
+           .select("id_a", "id_b", "jaccard_q"))
+    return out
+
+
+def jaccard_verify(df: DataFrame, candidates: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   shingle_n: int = 3, threshold_q: int = 500_000) -> DataFrame:
+    """Exact Jaccard restricted to LSH candidate pairs (the scale path)."""
+    pairs = jaccard_pairs(df, id_col, text_col, shingle_n, threshold_q=0)
+    return (pairs.join(candidates, ["id_a", "id_b"], "left_semi")
+            .filter(F.col("jaccard_q") >= threshold_q))
+
+
+# --------------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------------- #
+
+def _hex_val(ch: Column) -> Column:
+    return F.conv(ch, 16, 10).cast("int")
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """16-bit SimHash from token md5s (bits = first 4 hex chars, MSB first).
+
+    Per token occurrence, bit b contributes +1/-1; the signature sets bit b
+    when the sum is positive.  Pure integer arithmetic — explode + groupBy.
+    """
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                      .alias("tok"))
+            .withColumn("h", F.md5(F.col("tok"))))
+    cols = []
+    for b in range(16):
+        ch = F.substring(F.col("h"), 1 + b // 4, 1)
+        bit = F.floor(_hex_val(ch) / (2 ** (3 - b % 4))) % 2
+        cols.append(F.sum(bit * 2 - 1).alias(f"c{b}"))
+    sums = toks.groupBy("id").agg(*cols)
+    sig = None
+    for b in range(16):
+        term = F.when(F.col(f"c{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Docs with identical SimHash signature (near-dup buckets)."""
+    return (simhash16(df, id_col, text_col)
+            .groupBy("simhash")
+            .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+# --------------------------------------------------------------------------- #
+# embedding cosine near-dup (IVF-cell restricted)
+# --------------------------------------------------------------------------- #
+
+def _qsum(prods: Column) -> Column:
+    """Sum of per-element floor(x*1e9) integers — exact, order-independent."""
+    return F.aggregate(
+        F.transform(prods, lambda v: F.floor(v * 1e9).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine_q(a: Column, b: Column, scale: int = 1_000_000) -> Column:
+    """floor-quantized cosine of two float arrays.
+
+    Per-element products are floor-quantized to 1e-9 integer units BEFORE
+    summing, so the value is independent of fold order and bit-identical in
+    any engine (the DuckDB oracle replays the same formula).  The final
+    division/sqrt are single double ops on exact integers — deterministic.
+    """
+    dot_q = _qsum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+    aa_q = _qsum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    bb_q = _qsum(F.transform(b, lambda x: x.cast("double") * x.cast("double")))
+    denom = F.sqrt(aa_q.cast("double") * bb_q.cast("double"))
+    return F.floor(dot_q.cast("double") / denom * scale).cast("long")
+
+
+def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", cell_col: str = "label",
+                        threshold_q: int = 950_000) -> DataFrame:
+    """Near-duplicate vectors: cosine >= threshold within the same coarse
+    cell (IVF-style — the equi-join on the cell id is the scale lever; a
+    full cross join never happens)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   F.col(cell_col).alias("cell"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   F.col(cell_col).alias("cell"))
+    return (a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_q", cosine_q(F.col("va"), F.col("vb")))
+            .filter(F.col("cos_q") >= threshold_q)
+            .select("cell", "id_a", "id_b", "cos_q"))

@@ -1,0 +1,82 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — binary columns, Arrow-batched
+``mapInPandas`` with the exact batch shape a decode/feature-extract stage
+needs — while the codec work itself is stubbed (this container has no
+image/audio libraries): `decode_image` raises ``NotImplementedError`` and the
+shipping path uses the deterministic signature extractor instead.
+
+Reference analog: raw request bytes decoded per image
+(``cv2.imdecode(np.frombuffer(...))``, ``app/pipeline/ocr_adapter.py:105-108``)
+and the per-process model singleton (``ocr_adapter_improved.py:19-70``) —
+here `_codec_singleton` shows the same lazy per-worker init pattern.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+_CODEC = None
+
+MEDIA_META_DDL = "doc_id bigint, n_bytes bigint, sig string"
+
+
+def _codec_singleton():
+    """Lazy per-worker init (loaded once per Python worker process, like the
+    reference's EasyOCR reader singleton).  Raises until a real codec library
+    is installed; callers must catch and fall back."""
+    global _CODEC
+    if _CODEC is None:
+        raise NotImplementedError(
+            "no image/audio codec available in this environment; "
+            "install pillow/torchaudio and return the handle here")
+    return _CODEC
+
+
+def decode_image(data: bytes):
+    """STUB: bytes -> ndarray decode (cv2.imdecode analog)."""
+    codec = _codec_singleton()
+    return codec.decode(data)  # pragma: no cover
+
+
+def _signature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fallback feature extractor: byte length + md5 hex.
+    Vectorized per Arrow batch; the only per-item Python is hashlib over the
+    raw buffers (CPU-bound C code, no decode)."""
+    for b in batches:
+        if b.empty:
+            continue
+        media = b["media"]
+        yield pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_bytes": media.map(len).astype("int64"),
+            "sig": media.map(lambda x: hashlib.md5(x).hexdigest()),
+        })
+
+
+def media_signatures(df: DataFrame) -> DataFrame:
+    """df(doc_id, media: binary) -> (doc_id, n_bytes, sig).
+
+    The real pipeline would swap `_signature_batches` for a decode +
+    feature-extract kernel with the identical batch shape."""
+    return df.mapInPandas(_signature_batches, schema=MEDIA_META_DDL)
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling placeholder: the Spark-side contract is
+    (doc_id, media) -> exploded (doc_id, frame_idx, frame binary); decoding
+    is gated behind the codec singleton."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            # without a codec, emit frame 0 = raw bytes (deterministic fake)
+            yield pd.DataFrame({"doc_id": b["doc_id"],
+                                "frame_idx": 0,
+                                "frame": b["media"]})
+    return df.mapInPandas(fn, schema="doc_id bigint, frame_idx int, frame binary")

@@ -1,0 +1,103 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brute-force cosine top-k is the correctness baseline; the IVF variant
+restricts the search to the query's coarse cell (here the precomputed
+``label`` column — on a real corpus the cells come from a k-means fit, which
+is a tiny driver-side job over a sample).  A random-hyperplane LSH variant
+buckets vectors by sign patterns.
+
+Scale disposition: brute force is O(Q×N) — fine for small Q (the broadcast
+side is the query set), unusable for all-pairs; IVF cuts N to N/cells with
+one equi-join; LSH cuts to expected bucket size with one equi-join on the
+sign key.  All similarity math is quantized-integer (see dedup.cosine_q) so
+results are engine- and partition-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .dedup import cosine_q
+
+
+def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+    The query set is broadcast — no shuffle of the big side."""
+    q = (emb.filter(F.col(id_col) < n_queries)
+         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")))
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+              .withColumn("cos_q", cosine_q(F.col("q_vec"), F.col("n_vec"))))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "n_id", "cos_q"))
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cell_col: str = "label") -> DataFrame:
+    """IVF-restricted top-k: only vectors in the query's coarse cell are
+    scored (nprobe=1).  One broadcast equi-join on the cell id."""
+    q = (emb.filter(F.col(id_col) < n_queries)
+         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                 F.col(cell_col).alias("cell")))
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+                   F.col(cell_col).alias("cell"))
+    scored = (c.join(F.broadcast(q), "cell")
+              .filter(F.col("n_id") != F.col("q_id"))
+              .withColumn("cos_q", cosine_q(F.col("q_vec"), F.col("n_vec"))))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "cell", "rank", "n_id", "cos_q"))
+
+
+def hyperplane_lsh_buckets(emb: DataFrame, n_planes: int = 8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           dim: int = 64) -> DataFrame:
+    """Random-hyperplane LSH: bucket key = sign pattern of ``n_planes`` dot
+    products.  Hyperplane p's component d is the deterministic pseudo-random
+    ±1 given by bit parity of md5 — reproducible in SQL, no RNG state.
+
+    Here (cheaper and still deterministic): component sign = +1 when
+    ``(p*31 + d) % 3 != 0`` else -1 — a fixed integer pattern identical in
+    any engine.
+    """
+    def plane_dot_q(p: int):
+        # quantized integer dot (see dedup.cosine_q) so the sign decision is
+        # bit-identical in the DuckDB oracle
+        signs = [1.0 if (p * 31 + d) % 3 != 0 else -1.0 for d in range(dim)]
+        return F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.array(*[F.lit(s) for s in signs]),
+                       lambda x, s: F.floor(x.cast("double") * s * 1e9)
+                                     .cast("long")),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    key = F.concat(*[F.when(plane_dot_q(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                     for p in range(n_planes)])
+    return emb.select(F.col(id_col).alias("id"), key.alias("bucket"))
+
+
+def lsh_bucket_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """ANN via hyperplane buckets: score only same-bucket vectors."""
+    b = hyperplane_lsh_buckets(emb, n_planes, id_col, vec_col, dim)
+    e = emb.join(b, emb[id_col] == b["id"]).drop("id")
+    q = (e.filter(F.col(id_col) < n_queries)
+         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                 "bucket"))
+    c = e.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+                 "bucket")
+    scored = (c.join(F.broadcast(q), "bucket")
+              .filter(F.col("n_id") != F.col("q_id"))
+              .withColumn("cos_q", cosine_q(F.col("q_vec"), F.col("n_vec"))))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "bucket", "rank", "n_id", "cos_q"))

@@ -1,0 +1,855 @@
+"""Query catalog: every SURVEY.md §2 operator family as a (Spark builder,
+DuckDB oracle SQL) pair over the driver's testdata tables.
+
+Conventions that make the cross-engine value-hash comparison exact:
+
+* md5 is the only hash function used (bit-identical in both engines);
+* every float that is summed is first floor-quantized to integer units
+  (``floor(x*scale)`` of an identically-computed double is deterministic;
+  integer sums are order-independent) — the "cents idiom";
+* every window/rank ordering carries a unique tie-break column;
+* DuckDB ``sum(BIGINT)`` returns HUGEINT and ``floor`` returns DOUBLE, so
+  oracle SQL casts both back to BIGINT;
+* timestamps are output as formatted strings, never raw;
+* aliases match exactly between the two sides (driver hashes by column name).
+
+Entries whose semantics are not SQL-expressible (the full extraction
+pipeline with progressive early-stop) have oracle=None — the driver records
+a rows-only check; their exactness is pinned by the pytest parity suite
+against the pandas oracle instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import similarity_search as SS
+from ..sources.derived import (serial_expr, corrupt_expr, SERIAL_SQL,
+                               CORRUPT_SQL, docs_from_documents)
+
+# --------------------------------------------------------------------------- #
+# helpers
+# --------------------------------------------------------------------------- #
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col) -> F.Column:
+    """floor(x*100) as long — the exact-sum idiom for money-like doubles."""
+    return F.floor(col * 100).cast("long")
+
+
+def micros(col) -> F.Column:
+    return F.floor(col * 1_000_000).cast("long")
+
+
+_Q: dict[str, dict] = {}
+
+
+def _register(name: str, spark_fn, oracle: str | None):
+    _Q[name] = {"spark": spark_fn, "oracle": oracle}
+
+
+# =========================================================================== #
+# 1. Relational core (TPC-H-ish)                                              #
+# =========================================================================== #
+
+# --- A-class aggregation: pricing summary (SURVEY §2.4 A1-A5 shape; TPC-H Q1)
+def _q_pricing_summary(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+                 F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+                 F.sum(cents(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")))).alias("sum_disc_c"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_register("pricing_summary", _q_pricing_summary, """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       COUNT(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+
+
+# --- W1/W3 arg-max per group: top customer per nation (row_number window)
+def _q_top_customer_per_nation(spark, sf):
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(cents(F.col("o_totalprice"))).alias("spend_c")))
+    j = c.join(spend, c.c_custkey == spend.o_custkey, "inner")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("spend_c"), F.asc("c_custkey"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_nationkey", "c_custkey", "c_name", "spend_c")
+            .orderBy("c_nationkey"))
+
+
+_register("top_customer_per_nation", _q_top_customer_per_nation, """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_c
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT c_nationkey, c_custkey, c_name, spend_c,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY spend_c DESC, c_custkey ASC) AS rn
+  FROM customer JOIN spend ON c_custkey = o_custkey
+)
+SELECT c_nationkey, c_custkey, c_name, spend_c FROM ranked WHERE rn = 1
+""")
+
+
+# --- A1 shape: group-by-key score sum + arg-max member (candidate ranking)
+def _q_event_score_agg(spark, sf):
+    e = T(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    best = (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_type", F.col("event_id").alias("top_event"),
+                    micros(F.col("value")).alias("top_value_q")))
+    agg = (e.groupBy("event_type")
+           .agg(F.sum(micros(F.col("value"))).alias("score_q"),
+                F.count("*").alias("n")))
+    return agg.join(best, "event_type").orderBy("event_type")
+
+
+_register("event_score_agg", _q_event_score_agg, """
+WITH agg AS (
+  SELECT event_type, CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT) AS score_q,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type
+), best AS (
+  SELECT event_type, event_id AS top_event,
+         CAST(FLOOR(value*1000000) AS BIGINT) AS top_value_q,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+)
+SELECT a.event_type, a.score_q, a.n, b.top_event, b.top_value_q
+FROM agg a JOIN best b ON a.event_type = b.event_type AND b.rn = 1
+""")
+
+
+# --- A2 shape: merge-dedupe with repeat boost (max + 0.05 if seen > 1, cap 1)
+def _q_merge_dedupe_boost(spark, sf):
+    e = T(spark, sf, "events")
+    # value scaled to [0,1] "confidence"; boost semantics of
+    # ocr_adapter_improved.py:1310-1343 (single-boost variant)
+    conf = F.least(F.col("value") / 100.0, F.lit(1.0))
+    return (e.withColumn("conf", conf)
+            .groupBy("user_id", "event_type")
+            .agg(F.max("conf").alias("mx"), F.count("*").alias("n_seen"))
+            .withColumn("merged_q", micros(
+                F.least(F.lit(1.0),
+                        F.col("mx") + F.when(F.col("n_seen") > 1, 0.05)
+                        .otherwise(0.0))))
+            .select("user_id", "event_type", "n_seen", "merged_q")
+            .orderBy("user_id", "event_type"))
+
+
+_register("merge_dedupe_boost", _q_merge_dedupe_boost, """
+SELECT user_id, event_type, COUNT(*) AS n_seen,
+       CAST(FLOOR(LEAST(1.0, MAX(LEAST(value/100.0, 1.0))
+                        + CASE WHEN COUNT(*) > 1 THEN 0.05 ELSE 0.0 END)
+                  * 1000000) AS BIGINT) AS merged_q
+FROM events GROUP BY user_id, event_type
+""")
+
+
+# --- J1+A4: golden broadcast join + eval metrics (match-rate aggregation)
+def _q_eval_metrics(spark, sf):
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    match = (F.col("c_acctbal") > 0).cast("int")
+    return (j.agg(F.count("*").alias("total"),
+                  F.sum(F.col("c_custkey").isNotNull().cast("int")).alias("detected"),
+                  F.sum(F.coalesce(match, F.lit(0))).alias("hits"),
+                  F.floor(F.sum(F.coalesce(match, F.lit(0)))
+                          / F.count("*") * 10000).cast("long").alias("hit_rate_bp")))
+
+
+_register("eval_metrics", _q_eval_metrics, """
+SELECT COUNT(*) AS total,
+       CAST(SUM(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS detected,
+       CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       CAST(FLOOR(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+                  / COUNT(*) * 10000) AS BIGINT) AS hit_rate_bp
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+""")
+
+
+# --- SO5/resume anti-join: customers with no orders
+def _q_resume_anti_join(spark, sf):
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_without_orders"))
+            .orderBy("c_mktsegment"))
+
+
+_register("resume_anti_join", _q_resume_anti_join, """
+SELECT c_mktsegment, COUNT(*) AS n_without_orders
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""")
+
+
+# --- J3 cross join: param grid analog
+def _q_param_grid_cross(spark, sf):
+    r = T(spark, sf, "region")
+    n = T(spark, sf, "nation")
+    return (r.crossJoin(n)
+            .select("r_name", "n_name",
+                    (F.col("r_regionkey") * 100 + F.col("n_nationkey"))
+                    .alias("cell_id"))
+            .orderBy("cell_id"))
+
+
+_register("param_grid_cross", _q_param_grid_cross, """
+SELECT r_name, n_name, r_regionkey*100 + n_nationkey AS cell_id
+FROM region CROSS JOIN nation
+""")
+
+
+# --- J4 prefix-membership join
+def _q_prefix_join(spark, sf):
+    p = T(spark, sf, "part")
+    return (p.withColumn("pfx", F.substring("p_type", 1, 3))
+            .filter(F.col("pfx").isin("STA", "PRO", "ECO"))
+            .groupBy("pfx")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum(cents(F.col("p_retailprice"))).alias("sum_price_c"))
+            .orderBy("pfx"))
+
+
+_register("prefix_join", _q_prefix_join, """
+SELECT substring(p_type, 1, 3) AS pfx, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(FLOOR(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+FROM part WHERE substring(p_type, 1, 3) IN ('STA','PRO','ECO')
+GROUP BY substring(p_type, 1, 3)
+""")
+
+
+# --- A3 cube: db-stats one-pass grouping sets
+def _q_stats_cube(spark, sf):
+    o = T(spark, sf, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(cents(F.col("o_totalprice"))).alias("sum_c"))
+            .orderBy("o_orderstatus", "o_orderpriority"))
+
+
+_register("stats_cube", _q_stats_cube, """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_c
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+
+
+# --- W4 pagination: sort + offset/limit as a rank window
+def _q_history_page(spark, sf):
+    e = T(spark, sf, "events")
+    w = W.orderBy(F.desc("ts"), F.asc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") > 10) & (F.col("rn") <= 30))
+            .select("rn", "event_id", "event_type",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s")))
+
+
+_register("history_page", _q_history_page, """
+WITH ranked AS (
+  SELECT event_id, event_type, ts,
+         ROW_NUMBER() OVER (ORDER BY ts DESC, event_id ASC) AS rn
+  FROM events
+)
+SELECT rn, event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM ranked WHERE rn > 10 AND rn <= 30
+""")
+
+
+# --- SO2/SO4: set operations (union / intersect / except)
+def _q_set_ops(spark, sf):
+    e = T(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    u = clicks.union(buys).distinct().agg(F.count("*").alias("n_union"))
+    i = clicks.intersect(buys).agg(F.count("*").alias("n_intersect"))
+    x = clicks.subtract(buys).agg(F.count("*").alias("n_except"))
+    return u.crossJoin(i).crossJoin(x)
+
+
+_register("set_ops", _q_set_ops, """
+SELECT (SELECT COUNT(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type='click'
+          UNION SELECT DISTINCT user_id FROM events WHERE event_type='purchase')) AS n_union,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type='click'
+          INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type='purchase')) AS n_intersect,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type='click'
+          EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type='purchase')) AS n_except
+""")
+
+
+# --- F7/X8: date-range filter + daily buckets
+def _q_date_buckets(spark, sf):
+    e = T(spark, sf, "events")
+    return (e.filter((F.col("ts") >= F.lit("2024-01-01"))
+                     & (F.col("ts") < F.lit("2024-01-08")))
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(micros(F.col("value"))).alias("sum_q"))
+            .orderBy("day"))
+
+
+_register("date_buckets", _q_date_buckets, """
+SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT) AS sum_q
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY strftime(ts, '%Y-%m-%d')
+""")
+
+
+# --- A5 export summary
+def _q_export_summary(spark, sf):
+    o = T(spark, sf, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.min(cents(F.col("o_totalprice"))).alias("min_c"),
+                 F.max(cents(F.col("o_totalprice"))).alias("max_c"),
+                 F.floor(F.sum(cents(F.col("o_totalprice"))) / F.count("*"))
+                 .cast("long").alias("avg_c"))
+            .orderBy("o_orderstatus"))
+
+
+_register("export_summary", _q_export_summary, """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(MIN(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS min_c,
+       CAST(MAX(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_c,
+       CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_c
+FROM orders GROUP BY o_orderstatus
+""")
+
+
+# --- SO3 sliding windows, relational form
+def _q_sliding_windows(spark, sf):
+    p = T(spark, sf, "part")
+    wins = F.when(
+        F.length("p_name") >= 12,
+        F.transform(F.sequence(F.lit(1), F.length("p_name") - 11),
+                    lambda i: F.substring(F.col("p_name"), i, F.lit(12)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (p.select(F.explode(wins).alias("win"))
+            .groupBy("win").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 3)
+            .orderBy(F.desc("n"), F.asc("win"))
+            .limit(50))
+
+
+_register("sliding_windows", _q_sliding_windows, """
+WITH wins AS (
+  SELECT unnest(CASE WHEN length(p_name) >= 12
+                THEN [substring(p_name, i, 12) FOR i IN range(1, length(p_name)-10)]
+                ELSE [] END) AS win
+  FROM part
+)
+SELECT win, COUNT(*) AS n FROM wins GROUP BY win HAVING COUNT(*) >= 3
+ORDER BY n DESC, win ASC LIMIT 50
+""")
+
+
+# =========================================================================== #
+# 2. Serial semantics in pure SQL (X2/X4/X5/F1/F2 columnar)                   #
+# =========================================================================== #
+
+def _q_serial_derive_extract(spark, sf):
+    d = T(spark, sf, "documents")
+    line = F.concat(F.lit("Serial: "), serial_expr(F.col("doc_id")))
+    return (d.select(
+        "doc_id",
+        F.regexp_extract(line, r"Serial[:,.]?\s?([A-Z0-9]{12})", 1)
+        .alias("serial"))
+        .withColumn("masked",
+                    F.concat(F.substring("serial", 1, 4), F.lit("***"),
+                             F.substring("serial", 9, 4)))
+        .orderBy("doc_id"))
+
+
+_register("serial_derive_extract", _q_serial_derive_extract, f"""
+WITH s AS (SELECT doc_id, {SERIAL_SQL.format(id='doc_id')} AS ser FROM documents)
+SELECT doc_id,
+       regexp_extract('Serial: ' || ser, 'Serial[:,.]?\\s?([A-Z0-9]{{12}})', 1) AS serial,
+       substring(ser, 1, 4) || '***' || substring(ser, 9, 4) AS masked
+FROM s
+""")
+
+
+def _q_serial_normalize(spark, sf):
+    d = T(spark, sf, "documents")
+    noisy = corrupt_expr(serial_expr(F.col("doc_id")))
+    # X2 basic translate map (ocr_adapter_improved.py:351-366)
+    return (d.select(
+        "doc_id", noisy.alias("noisy"),
+        F.translate(noisy, "OILZSBQGDT", "0112580607").alias("normalized"))
+        .orderBy("doc_id"))
+
+
+_register("serial_normalize", _q_serial_normalize, f"""
+WITH s AS (SELECT doc_id,
+  {CORRUPT_SQL.format(s=SERIAL_SQL.format(id='doc_id'))} AS noisy FROM documents)
+SELECT doc_id, noisy,
+       translate(noisy, 'OILZSBQGDT', '0112580607') AS normalized
+FROM s
+""")
+
+
+_K1 = "'C','F','G','M','P','V','W','X','Y'"
+_K2 = "'DM','DN','FK','G8','QP','RN','RM','SG','VM','YM'"
+_K3 = "'C07','C17','C1M','C2V','F4N','F5K','FC7','G8V','QT4'"
+_COMMON = "'C','F','G','D','M','P','V','W','X','Y'"
+
+
+def _q_serial_validate(spark, sf):
+    """validate_apple_serial_extended (validation.py:147-214) as pure
+    columnar predicates, over clean + corrupted derived serials."""
+    d = T(spark, sf, "documents")
+    clean = d.select("doc_id", F.lit("clean").alias("variant"),
+                     serial_expr(F.col("doc_id")).alias("s"))
+    noisy = d.select("doc_id", F.lit("noisy").alias("variant"),
+                     corrupt_expr(serial_expr(F.col("doc_id"))).alias("s"))
+    u = clean.unionByName(noisy)
+    up = F.upper(F.trim(F.col("s")))
+    basic = up.rlike("^[A-Z0-9]{12}$")
+    known = (F.substring(up, 1, 1).isin(*_K1.replace("'", "").split(","))
+             | F.substring(up, 1, 2).isin(*_K2.replace("'", "").split(","))
+             | F.substring(up, 1, 3).isin(*_K3.replace("'", "").split(",")))
+    e1 = (~F.substring(up, 1, 1).isin(*_COMMON.replace("'", "").split(","))).cast("int")
+    e2 = (~F.substring(up, 1, 1).rlike("^[A-Z]$")).cast("int")
+    e3 = (~F.substring(up, 2, 1).rlike("^[0-9]$")).cast("int")
+    pos_ok = known | ((e1 + e2 + e3) <= 2)
+    confus = F.length(up) - F.length(F.regexp_replace(up, "[OIZSBQGDT]", ""))
+    last4 = F.substring(up, 9, 4).rlike("[0-9]")
+    valid = basic & pos_ok & (confus <= 3) & last4
+    return (u.select("doc_id", "variant", "s",
+                     valid.alias("is_valid"),
+                     confus.cast("int").alias("n_confusable"))
+            .orderBy("doc_id", "variant"))
+
+
+_register("serial_validate", _q_serial_validate, f"""
+WITH base AS (
+  SELECT doc_id, 'clean' AS variant, {SERIAL_SQL.format(id='doc_id')} AS s FROM documents
+  UNION ALL
+  SELECT doc_id, 'noisy' AS variant,
+         {CORRUPT_SQL.format(s=SERIAL_SQL.format(id='doc_id'))} AS s FROM documents
+), checks AS (
+  SELECT doc_id, variant, s, upper(trim(s)) AS up FROM base
+)
+SELECT doc_id, variant, s,
+       (regexp_matches(up, '^[A-Z0-9]{{12}}$')
+        AND (substring(up,1,1) IN ({_K1}) OR substring(up,1,2) IN ({_K2})
+             OR substring(up,1,3) IN ({_K3})
+             OR ((CASE WHEN substring(up,1,1) NOT IN ({_COMMON}) THEN 1 ELSE 0 END)
+                 + (CASE WHEN NOT regexp_matches(substring(up,1,1), '^[A-Z]$') THEN 1 ELSE 0 END)
+                 + (CASE WHEN NOT regexp_matches(substring(up,2,1), '^[0-9]$') THEN 1 ELSE 0 END)) <= 2)
+        AND length(up) - length(regexp_replace(up, '[OIZSBQGDT]', '', 'g')) <= 3
+        AND regexp_matches(substring(up,9,4), '[0-9]')) AS is_valid,
+       CAST(length(up) - length(regexp_replace(up, '[OIZSBQGDT]', '', 'g')) AS INTEGER)
+         AS n_confusable
+FROM checks
+""")
+
+
+# =========================================================================== #
+# 3. Text analysis (documents)                                                #
+# =========================================================================== #
+
+def _q_text_stats(spark, sf):
+    d = T(spark, sf, "documents")
+    t = F.col("text")
+    return (d.select("doc_id",
+                     TX.token_count(t).alias("n_tokens"),
+                     F.length(t).alias("n_chars"),
+                     TX.stopword_ratio_q(t).alias("stopword_q"),
+                     TX.lang_id(t).alias("lang"),
+                     TX.quality_score_q(t).alias("quality_q"))
+            .orderBy("doc_id"))
+
+
+_STOP_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+
+_register("text_stats", _q_text_stats, f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+), feats AS (
+  SELECT doc_id, text, tk, len(tk) AS n_tokens,
+         len(list_filter(tk, t -> list_contains({_STOP_SQL}, t))) AS n_stop,
+         len(list_distinct(tk)) AS n_distinct
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(FLOOR(n_stop / n_tokens * 1000000) AS BIGINT) AS stopword_q,
+       CASE WHEN FLOOR(n_stop / n_tokens * 1000000) >= 50000
+            THEN 'en' ELSE 'unk' END AS lang,
+       CAST(FLOOR((LEAST(n_tokens/50.0, 1.0)*0.5 + (n_distinct/n_tokens)*0.3
+             + (length(regexp_replace(text,'[^A-Za-z]','','g'))
+                / GREATEST(length(text),1))*0.2) * 1000000) AS BIGINT) AS quality_q
+FROM feats
+""")
+
+
+def _q_fingerprint(spark, sf):
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return (d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+            .orderBy("doc_id"))
+
+
+_register("fingerprint", _q_fingerprint, """
+SELECT doc_id,
+       list_min([md5(substring(text, i, 8))
+                 FOR i IN range(1, GREATEST(length(text)-7, 1) + 1)]) AS fp
+FROM documents WHERE doc_id < 100
+""")
+
+
+# =========================================================================== #
+# 4. Deduplication                                                            #
+# =========================================================================== #
+
+def _dup_corpus(spark, sf):
+    """documents ∪ exact copy (ids +100000) ∪ near-dup copy (last two words
+    dropped, ids +200000) — the dedup testbed both engines derive identically."""
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    c1 = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    c2 = d.select((F.col("doc_id") + 200000).alias("doc_id"),
+                  F.regexp_replace("text", r" \S+ \S+$", "").alias("text"))
+    return d.unionByName(c1).unionByName(c2)
+
+
+_DUP_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+  UNION ALL SELECT doc_id + 200000, regexp_replace(text, ' \\S+ \\S+$', '') FROM documents
+"""
+
+
+def _q_dedup_exact(spark, sf):
+    return (DD.exact_dup_groups(_dup_corpus(spark, sf))
+            .orderBy("digest"))
+
+
+_register("dedup_exact", _q_dedup_exact, f"""
+WITH corpus AS ({_DUP_SQL})
+SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+""")
+
+
+def _q_dedup_minhash_lsh(spark, sf):
+    corpus = _dup_corpus(spark, sf).filter(
+        (F.col("doc_id") % 100000) < 200)  # bound the candidate set
+    return (DD.lsh_candidate_pairs(corpus, "doc_id", "text", k=12, bands=4)
+            .orderBy("id_a", "id_b"))
+
+
+def _minhash_sql(k: int = 12, bands: int = 4) -> str:
+    r = k // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}' || shingle)) AS s{i}" for i in range(k))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id AS id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b, key=" || ".join(f"s{b * r + j}" for j in range(r)))
+        for b in range(bands))
+    return f"""
+WITH corpus AS ({_DUP_SQL}),
+bounded AS (SELECT * FROM corpus WHERE doc_id % 100000 < 200),
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
+  FROM bounded
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 FOR i IN range(1, GREATEST(len(tk)-2, 1) + 1)]) AS shingle
+  FROM toks
+),
+sig AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+"""
+
+
+_register("dedup_minhash_lsh", _q_dedup_minhash_lsh, _minhash_sql())
+
+
+def _q_dedup_jaccard(spark, sf):
+    corpus = _dup_corpus(spark, sf).filter((F.col("doc_id") % 100000) < 150)
+    return (DD.jaccard_pairs(corpus, "doc_id", "text",
+                             shingle_n=3, threshold_q=500_000)
+            .orderBy("id_a", "id_b"))
+
+
+_register("dedup_jaccard", _q_dedup_jaccard, f"""
+WITH corpus AS ({_DUP_SQL}),
+bounded AS (SELECT * FROM corpus WHERE doc_id % 100000 < 150),
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
+  FROM bounded
+),
+shingles AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 FOR i IN range(1, GREATEST(len(tk)-2, 1) + 1)]) AS shingle
+  FROM toks
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM shingles GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(FLOOR(i / (sa.sz + sb.sz - i) * 1000000) AS BIGINT) AS jaccard_q
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE FLOOR(i / (sa.sz + sb.sz - i) * 1000000) >= 500000
+""")
+
+
+def _q_dedup_simhash(spark, sf):
+    return (DD.simhash_dup_groups(T(spark, sf, "documents"), "doc_id", "text")
+            .orderBy("simhash"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = []
+    for b in range(16):
+        ch = f"substring(h, {1 + b // 4}, 1)"
+        val = f"(strpos('0123456789abcdef', {ch}) - 1)"
+        bit = f"(CAST(FLOOR({val} / {2 ** (3 - b % 4)}) AS BIGINT) % 2)"
+        bit_sums.append(f"SUM({bit}*2 - 1) AS c{b}")
+    sig = " + ".join(
+        f"(CASE WHEN c{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (SELECT id, md5(tok) AS h FROM toks),
+sums AS (SELECT id, {', '.join(bit_sums)} FROM hashed GROUP BY id),
+sigs AS (SELECT id, CAST({sig} AS BIGINT) AS simhash FROM sums)
+SELECT simhash, COUNT(*) AS n_docs, MIN(id) AS keep_id
+FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+"""
+
+
+_register("dedup_simhash", _q_dedup_simhash, _simhash_sql())
+
+
+def _q_dedup_embedding(spark, sf):
+    e = T(spark, sf, "embeddings")
+    jit = e.select((F.col("vec_id") + 100000).alias("vec_id"),
+                   F.transform("embedding",
+                               lambda x: (x.cast("double") * 1.001).cast("float"))
+                   .alias("embedding"),
+                   "label")
+    corpus = e.select("vec_id", "embedding", "label").unionByName(jit)
+    return (DD.embedding_dup_pairs(corpus, threshold_q=990_000)
+            .orderBy("id_a", "id_b"))
+
+
+_COS_SQL = """
+CAST(FLOOR(
+  CAST(list_sum([CAST(FLOOR({a}[i]::DOUBLE * {b}[i]::DOUBLE * 1e9) AS BIGINT)
+                 FOR i IN range(1, 65)]) AS DOUBLE)
+  / SQRT(CAST(list_sum([CAST(FLOOR({a}[i]::DOUBLE * {a}[i]::DOUBLE * 1e9) AS BIGINT)
+                        FOR i IN range(1, 65)]) AS DOUBLE)
+         * CAST(list_sum([CAST(FLOOR({b}[i]::DOUBLE * {b}[i]::DOUBLE * 1e9) AS BIGINT)
+                          FOR i IN range(1, 65)]) AS DOUBLE))
+  * 1000000) AS BIGINT)
+"""
+
+_register("dedup_embedding", _q_dedup_embedding, f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         [CAST(x::DOUBLE * 1.001 AS FLOAT) FOR x IN embedding], label
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_q
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT cell, id_a, id_b, cos_q FROM pairs WHERE cos_q >= 990000
+""")
+
+
+# =========================================================================== #
+# 5. Similarity search                                                        #
+# =========================================================================== #
+
+def _q_ann_bruteforce(spark, sf):
+    return (SS.brute_force_topk(T(spark, sf, "embeddings"), n_queries=10, k=5)
+            .orderBy("q_id", "rank"))
+
+
+_register("ann_bruteforce", _q_ann_bruteforce, f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         {_COS_SQL.format(a='q.q_vec', b='e.embedding')} AS cos_q
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos_q,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_q DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, rank, n_id, cos_q FROM ranked WHERE rank <= 5
+""")
+
+
+def _q_ann_ivf(spark, sf):
+    return (SS.ivf_topk(T(spark, sf, "embeddings"), n_queries=10, k=5)
+            .orderBy("q_id", "rank"))
+
+
+_register("ann_ivf", _q_ann_ivf, f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS cell
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, q.cell, e.vec_id AS n_id,
+         {_COS_SQL.format(a='q.q_vec', b='e.embedding')} AS cos_q
+  FROM embeddings e JOIN q ON e.label = q.cell WHERE e.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, cell, n_id, cos_q,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_q DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, cell, rank, n_id, cos_q FROM ranked WHERE rank <= 5
+""")
+
+
+def _q_ann_lsh(spark, sf):
+    return (SS.lsh_bucket_topk(T(spark, sf, "embeddings"),
+                               n_queries=10, k=5, n_planes=8)
+            .orderBy("q_id", "rank"))
+
+
+def _lsh_sql(n_planes: int = 8, dim: int = 64) -> str:
+    plane_bits = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"CAST(FLOOR(embedding[{d + 1}]::DOUBLE * "
+            f"{1.0 if (p * 31 + d) % 3 != 0 else -1.0} * 1e9) AS BIGINT)"
+            for d in range(dim))
+        plane_bits.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(plane_bits)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, q.bucket, e.vec_id AS n_id,
+         {_COS_SQL.format(a='q.q_vec', b='e.embedding')} AS cos_q
+  FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, bucket, n_id, cos_q,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_q DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, bucket, rank, n_id, cos_q FROM ranked WHERE rank <= 5
+"""
+
+
+_register("ann_lsh", _q_ann_lsh, _lsh_sql())
+
+
+# =========================================================================== #
+# 6. Multimodal plumbing (binary columns, Arrow-batched decode stub)          #
+# =========================================================================== #
+
+def _q_multimodal_signature(spark, sf):
+    from ..operators.multimodal import media_signatures
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("media"))
+    return media_signatures(d).orderBy("doc_id")
+
+
+_register("multimodal_signature", _q_multimodal_signature, """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS sig
+FROM documents
+""")
+
+
+# =========================================================================== #
+# 7. The extraction pipeline itself (rows-only: non-SQL-expressible —         #
+#    progressive early-stop + A1/A2 + expansion; exactness pinned by the      #
+#    pytest parity suite against the pandas oracle)                           #
+# =========================================================================== #
+
+def _flatten(extracted: DataFrame) -> DataFrame:
+    return (extracted
+            .select("doc_id", F.explode_outer("spans").alias("s"))
+            .select("doc_id", F.col("s.order").alias("ord"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"))
+            .orderBy("doc_id", "ord"))
+
+
+def _q_extract_staged(spark, sf):
+    from .pipeline import extract_docs
+    docs = docs_from_documents(spark, sf)
+    return _flatten(extract_docs(docs, mode="staged"))
+
+
+def _q_extract_fused(spark, sf):
+    from .pipeline import extract_docs
+    docs = docs_from_documents(spark, sf)
+    return _flatten(extract_docs(docs, mode="fused"))
+
+
+_register("extract_pipeline_staged", _q_extract_staged, None)
+_register("extract_pipeline_fused", _q_extract_fused, None)
+
+
+# =========================================================================== #
+# public surface                                                              #
+# =========================================================================== #
+
+def catalog() -> dict[str, dict]:
+    return dict(_Q)
+
+
+def queries():
+    return {name: entry["spark"] for name, entry in _Q.items()}
+
+
+def oracle_sql():
+    return {name: entry["oracle"] for name, entry in _Q.items()
+            if entry["oracle"] is not None}
