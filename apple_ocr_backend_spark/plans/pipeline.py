@@ -219,7 +219,14 @@ def ocr_branch_staged(rows: DataFrame, cfg: ExtractConfig,
                     .alias("passes"))
            .withColumn("n_passes", F.least(F.size("passes"),
                                            F.lit(cfg.max_passes))))
-    img = img.persist()
+    # Lineage truncation between passes: each pass's A1 output (small: ranked
+    # candidates only) is materialized eagerly so pass p+1's plan does not
+    # nest pass p's whole DAG — without this, Catalyst re-optimizes an
+    # exponentially deepening tree per pass (~7x wall-clock on the bench).
+    # On a cluster the durable equivalent is the icelite stage commit
+    # (plans.checkpoint.run_resumable); localCheckpoint is the in-session
+    # fast path.
+    img = img.localCheckpoint()
     unresolved = img
     pass_outputs: list[DataFrame] = []
     for p in range(cfg.max_passes):
@@ -232,7 +239,8 @@ def ocr_branch_staged(rows: DataFrame, cfg: ExtractConfig,
                          "pass_text")
                  .mapInPandas(_ocr_pass_kernel(cfg.as_dict()),
                               schema=CAND_SCHEMA))
-        a1 = _a1_rank(cands).withColumn("pass_idx", F.lit(p)).persist()
+        a1 = (_a1_rank(cands).withColumn("pass_idx", F.lit(p))
+              .localCheckpoint())
         if on_stage is not None:
             a1 = on_stage(p, a1)
         pass_outputs.append(a1)
