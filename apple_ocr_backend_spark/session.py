@@ -29,6 +29,10 @@ def get_spark(app_name: str = "apple_ocr_backend_spark",
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         # extraction workloads are compute-heavy per byte: the 64 MB default
+         # advisory size coalesces payload shuffles down to a handful of fat
+         # partitions and strangles reduce-side parallelism
+         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

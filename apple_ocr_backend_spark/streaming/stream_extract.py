@@ -1,0 +1,84 @@
+"""Structured-Streaming front end for the extraction pipeline.
+
+The reference has no true stream operators (SURVEY.md §2.10) — its closest
+analog is the job-queue + polling serving path (``/scan`` -> ``GET
+/result/{job_id}``, reference README.md:140-152), which the batch resumable
+runs already cover.  This module adds the idiomatic-Spark streaming layer on
+top: new doc files landing in a directory are extracted incrementally with
+``Trigger.AvailableNow`` and committed to the same icelite table, with
+exactly-once semantics enforced by epoch-keyed snapshot commits (a replayed
+micro-batch is a no-op).
+
+Scale notes: ``foreachBatch`` runs the full fused pipeline per micro-batch,
+so all batch-side skew handling (salting, two-phase reassembly) applies
+unchanged; ``maxFilesPerTrigger`` bounds micro-batch size on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import ExtractConfig, DEFAULT_CONFIG
+from ..plans.pipeline import extract_docs
+from ..sources.corpus import DOCS_DDL
+from ..sources.icelite import Table
+
+
+def stream_extract(spark: SparkSession, input_dir: str, table_dir: str,
+                   checkpoint_dir: str, cfg: ExtractConfig = DEFAULT_CONFIG,
+                   mode: str = "fused", max_files_per_trigger: int | None = None):
+    """Incrementally extract docs parquet files from ``input_dir`` into the
+    icelite table at ``table_dir``.  Returns the started query (AvailableNow:
+    drains what exists, then stops)."""
+    table = Table(table_dir)
+    reader = spark.readStream.schema(DOCS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_dir)
+
+    def commit_batch(batch: DataFrame, epoch_id: int) -> None:
+        # Exactly-once: Structured Streaming may replay an epoch after a
+        # failure; the icelite snapshot log is the idempotence ledger.
+        if epoch_id in table.committed_units("epoch"):
+            return
+        extracted = extract_docs(batch, cfg, mode=mode)
+        n = extracted.count()
+        table.append(extracted, operation=f"stream/epoch={epoch_id}",
+                     summary={"epoch": epoch_id, "docs_in": n})
+
+    return (docs.writeStream
+            .foreachBatch(commit_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "10 minutes",
+                          window: str = "5 minutes") -> DataFrame:
+    """Event-time tumbling-window counts with late-data handling — the
+    streaming analog of the reference client's processing-time scan window
+    (``SerialScannerViewModel.swift:34-38,197-206``), upgraded to event time
+    + watermark as the north-rule environment expects.
+
+    Works on both a streaming and a batch DataFrame with columns
+    ``(ts timestamp, event_type string, value double)``.
+    """
+    from pyspark.sql import functions as F
+    # watermarks require TIMESTAMP (driver testdata uses TIMESTAMP_NTZ);
+    # session TZ is pinned to UTC so the cast is deterministic
+    return (events
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.floor(F.sum(F.floor(F.col("value") * 1_000_000)))
+                 .cast("long").alias("sum_q"))
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"), "event_type", "n", "sum_q"))
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact-dedup on event_id within the watermark horizon
+    (reference analog: per-serial dedupe, ``tesseract_adapter.py:177``)."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicates(["event_id", "ts"]))

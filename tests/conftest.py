@@ -6,6 +6,6 @@ import pytest
 @pytest.fixture(scope="session")
 def spark():
     from apple_ocr_backend_spark.session import get_spark
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
     yield s
     s.stop()
