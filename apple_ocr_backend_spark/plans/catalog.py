@@ -189,10 +189,13 @@ FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 """)
 
 
-# --- SO5/resume anti-join: customers with no orders
+# --- SO5/resume anti-join: customers with no orders before 1996 (the
+# resume done-set shape: docs left_anti committed ids; date bound keeps the
+# result non-empty at every sf)
 def _q_resume_anti_join(spark, sf):
     c = T(spark, sf, "customer")
-    o = T(spark, sf, "orders")
+    o = (T(spark, sf, "orders")
+         .filter(F.col("o_orderdate") < F.lit("1996-01-01")))
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_without_orders"))
@@ -201,7 +204,10 @@ def _q_resume_anti_join(spark, sf):
 
 _register("resume_anti_join", _q_resume_anti_join, """
 SELECT c_mktsegment, COUNT(*) AS n_without_orders
-FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+FROM customer WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
 GROUP BY c_mktsegment
 """)
 

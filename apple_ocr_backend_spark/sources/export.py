@@ -1,0 +1,96 @@
+"""Report/export sinks — the reference's S6 (Excel), S9 (eval CSV+JSON) and
+A5 (export summary) re-expressed Spark-first.
+
+All heavy lifting (filters, aggregation) runs in Spark; only presentation
+happens driver-side, mirroring the reference's split where
+``generate_excel`` styles rows that SQLite already filtered
+(``app/services/export.py:11-238``).  The eval-report shape matches
+``app/services/eval.py:78-125,160-181``: one CSV row per document plus a
+JSON summary sidecar.  Excel needs ``openpyxl`` (not present in this
+container) and is gated behind an import-try.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def export_filters(df: DataFrame, date_col: str | None = None,
+                   date_from: str | None = None, date_to: str | None = None,
+                   **equals) -> DataFrame:
+    """F7-style export filtering (date range + dimension equality).
+
+    ``equals`` maps column -> required value; None values are ignored —
+    the reference's optional query params (``app/routers/serials.py:379-403``).
+    """
+    if date_col and date_from:
+        df = df.filter(F.col(date_col) >= F.lit(date_from))
+    if date_col and date_to:
+        # end-of-day clamp, reference serials.py:390-394
+        df = df.filter(F.col(date_col) <= F.lit(f"{date_to} 23:59:59"))
+    for col, val in equals.items():
+        if val is not None:
+            df = df.filter(F.col(col) == F.lit(val))
+    return df
+
+
+def summary_stats(df: DataFrame, value_col: str,
+                  group_col: str | None = None) -> DataFrame:
+    """A5 export summary: count + min/max/avg of a value column, optionally
+    per group (``app/services/export.py:146-177``)."""
+    aggs = [F.count("*").alias("n"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+            F.avg(value_col).alias("avg_v")]
+    if group_col:
+        return df.groupBy(group_col).agg(*aggs).orderBy(group_col)
+    return df.agg(*aggs)
+
+
+def write_eval_report(rows: DataFrame, out_dir: str,
+                      match_col: str = "match") -> dict:
+    """S9 eval sinks: per-row CSV + JSON summary (eval.py:78-181 shape).
+
+    ``rows`` must carry a boolean ``match_col``; everything else is written
+    through.  The CSV is written by Spark (distributed, one part per
+    partition — at 100 TB you never funnel rows through the driver);
+    the summary aggregates in Spark and lands as one driver-side JSON.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rows.write.mode("overwrite").option("header", True).csv(
+        os.path.join(out_dir, "rows_csv"))
+    agg = rows.agg(
+        F.count("*").alias("total"),
+        F.sum(F.col(match_col).cast("int")).alias("hits"),
+        F.floor(F.sum(F.col(match_col).cast("int")) / F.count("*") * 10000)
+        .cast("long").alias("hit_rate_bp")).collect()[0]
+    summary = {"total": agg["total"], "hits": int(agg["hits"] or 0),
+               "hit_rate_bp": int(agg["hit_rate_bp"] or 0)}
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    return summary
+
+
+def generate_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> str:
+    """S6 Excel sink (3-sheet analog): data + summary sheets via pandas.
+
+    Presentation-only: Spark must have already filtered/aggregated (the
+    ``max_rows`` guard enforces that this never becomes a data path).
+    Requires ``openpyxl``; raises NotImplementedError when absent (this
+    container ships without it — the call sites and batch shape are real).
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Excel export needs openpyxl, which this environment does not "
+            "ship; install it and this function works unchanged") from e
+    pdf = df.limit(max_rows).toPandas()
+    import pandas as pd
+    with pd.ExcelWriter(path, engine="openpyxl") as xl:
+        pdf.to_excel(xl, sheet_name="data", index=False)
+        pdf.describe(include="all").to_excel(xl, sheet_name="summary")
+    return path
