@@ -64,12 +64,14 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     a candidate pair.  Returns (id_a, id_b) with id_a < id_b, distinct."""
     r = k // bands
     sig = minhash_signature(df, id_col, text_col, k, shingle_n)
-    band_rows = None
-    for b in range(bands):
-        key = F.concat(*[F.col(f"s{b * r + j}") for j in range(r)])
-        row = sig.select(F.col(id_col).alias("id"),
-                         F.lit(b).alias("band"), key.alias("bkey"))
-        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    # one posexplode, not a bands-way union: a union of projections makes
+    # Catalyst replicate the whole signature subtree per band (audited:
+    # 24 scans / 18 exchanges for bands=4 on the old shape)
+    keys = F.array(*[
+        F.concat(*[F.col(f"s{b * r + j}") for j in range(r)])
+        for b in range(bands)])
+    band_rows = (sig.select(F.col(id_col).alias("id"),
+                            F.posexplode(keys).alias("band", "bkey")))
     a = band_rows.alias("a")
     bb = band_rows.alias("b")
     return (a.join(bb, (F.col("a.band") == F.col("b.band"))
