@@ -643,6 +643,55 @@ WHERE FLOOR(i / (sa.sz + sb.sz - i) * 1000000) >= 500000
 """)
 
 
+def _q_dedup_lsh_verified(spark, sf):
+    """The 100 TB dedup path end-to-end: LSH banding proposes candidate
+    pairs, exact n-gram Jaccard verifies ONLY those pairs (never all pairs)."""
+    corpus = _dup_corpus(spark, sf).filter((F.col("doc_id") % 100000) < 150)
+    cands = DD.lsh_candidate_pairs(corpus, "doc_id", "text", k=12, bands=4)
+    return (DD.jaccard_verify(corpus, cands, "doc_id", "text",
+                              shingle_n=3, threshold_q=500_000)
+            .orderBy("id_a", "id_b"))
+
+
+def _lsh_verified_sql() -> str:
+    # the straightforward composition: reuse the minhash SQL for candidates
+    # and the jaccard SQL for scores, semi-join them
+    mh = _minhash_sql(12, 4).replace("WHERE doc_id % 100000 < 200",
+                                     "WHERE doc_id % 100000 < 150")
+    return f"""
+WITH cand AS ({mh}),
+corpus AS ({_DUP_SQL}),
+bounded AS (SELECT * FROM corpus WHERE doc_id % 100000 < 150),
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
+  FROM bounded
+),
+shingles AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 FOR i IN range(1, GREATEST(len(tk)-2, 1) + 1)]) AS shingle
+  FROM toks
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM shingles GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+       CAST(FLOOR(i.i / (sa.sz + sb.sz - i.i) * 1000000) AS BIGINT) AS jaccard_q
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE FLOOR(i.i / (sa.sz + sb.sz - i.i) * 1000000) >= 500000
+  AND EXISTS (SELECT 1 FROM cand c WHERE c.id_a = i.id_a AND c.id_b = i.id_b)
+"""
+
+
+_register("dedup_lsh_verified", _q_dedup_lsh_verified, _lsh_verified_sql())
+
+
 def _q_dedup_simhash(spark, sf):
     return (DD.simhash_dup_groups(T(spark, sf, "documents"), "doc_id", "text")
             .orderBy("simhash"))
