@@ -57,7 +57,34 @@ def run_resumable(spark: SparkSession, docs: DataFrame, table_dir: str,
             continue
         t0 = time.time()
         sub = docs_b.filter(F.col("_bucket") == b).drop("_bucket")
-        extracted = extract_docs(sub, cfg, mode=mode)
+
+        # staged mode: per-pass, per-partition lineage (north_rule: "every
+        # stage writes per-partition lineage + extraction metrics").  The
+        # per-pass A1 frames are already materialized (localCheckpoint), so
+        # these counts are cheap reads of cached blocks.
+        stage_rows: list[dict] = []
+
+        def on_stage(p: int, a1):
+            t_pass = time.time()
+            rows_ = (a1.groupBy(F.spark_partition_id().alias("partition_id"))
+                     .agg(F.count("*").alias("candidates"),
+                          F.countDistinct("doc_id", "span_pos")
+                          .alias("spans_active"),
+                          F.floor(F.avg("conf") * 1_000_000).cast("long")
+                          .alias("avg_conf_q"))
+                     .collect())
+            stage_rows.extend(
+                {"run_id": run_id, "stage": f"ocr_pass_{p}", "bucket": b,
+                 "partition_id": r["partition_id"],
+                 "doc_count": int(r["spans_active"]),
+                 "span_count": int(r["candidates"]),
+                 "bytes": 0, "avg_conf_q": int(r["avg_conf_q"] or 0),
+                 "wall_ms": (time.time() - t_pass) * 1000.0}
+                for r in rows_)
+            return a1
+
+        extracted = extract_docs(sub, cfg, mode=mode,
+                                 on_stage=on_stage if mode == "staged" else None)
         # per-partition lineage + per-kind metrics in ONE pass over the output
         flat = extracted.select(
             "doc_id", F.spark_partition_id().alias("partition_id"),
@@ -86,8 +113,10 @@ def run_resumable(spark: SparkSession, docs: DataFrame, table_dir: str,
             "span_count": sum(int(r["span_count"] or 0) for r in lineage_rows),
             "wall_ms": wall_ms,
         }
+        if stage_rows:
+            summary["n_pass_stages"] = len({r["stage"] for r in stage_rows})
         table.append(extracted, operation=f"extract/bucket={b}",
-                     summary=summary, lineage=lineage)
+                     summary=summary, lineage=lineage + stage_rows)
         processed.append(b)
         if fail_after is not None and len(processed) >= fail_after:
             docs_b.unpersist()

@@ -446,9 +446,14 @@ def reassemble_partials(partials: DataFrame, doc_spine: DataFrame) -> DataFrame:
 
 def extract_docs(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
                  mode: str = "staged",
-                 num_partitions: int | None = None) -> DataFrame:
+                 num_partitions: int | None = None,
+                 on_stage=None) -> DataFrame:
     """The flagship plan: docs(doc_id, spans[offset-ordered]) ->
-    extracted(doc_id, spans[(kind,text,media_ref,order)])."""
+    extracted(doc_id, spans[(kind,text,media_ref,order)]).
+
+    ``on_stage(pass_idx, a1_df)`` (staged mode): per-pass checkpoint hook —
+    ``plans.checkpoint`` uses it to record per-pass, per-partition lineage
+    into the snapshot commit."""
     if mode == "fused":
         rows = repartition_salted(explode_salted(docs, cfg), num_partitions)
         partials = rows.select(
@@ -456,4 +461,5 @@ def extract_docs(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
             "text").mapInPandas(_mono_partial_kernel(cfg.as_dict()),
                                 schema=PARTIAL_SCHEMA)
         return reassemble_partials(partials, docs)
-    return reassemble(extract_rows(docs, cfg, mode, num_partitions), docs)
+    return reassemble(
+        extract_rows(docs, cfg, mode, num_partitions, on_stage), docs)

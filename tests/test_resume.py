@@ -53,6 +53,27 @@ def test_kill_and_resume(spark, tmp_path):
                     "span_count", "bytes", "wall_ms"} <= set(row)
 
 
+def test_staged_run_commits_per_pass_lineage(spark, tmp_path):
+    """Staged mode records per-pass, per-partition lineage in each bucket's
+    snapshot commit (north_rule: every stage writes lineage + metrics)."""
+    docs = make_corpus(40, seed=9)
+    res = run_resumable(spark, _to_spark_docs(spark, docs),
+                        str(tmp_path / "t"), CFG, n_buckets=2, mode="staged",
+                        run_id="rs")
+    snaps = res["table"].snapshots()
+    assert len(snaps) == 2
+    pass_rows = [r for s in snaps for r in s["lineage"]
+                 if r["stage"].startswith("ocr_pass_")]
+    assert pass_rows, "no per-pass lineage recorded"
+    assert {r["stage"] for r in pass_rows} >= {"ocr_pass_0"}
+    for r in pass_rows:
+        assert r["span_count"] >= r["doc_count"] >= 0
+        assert 0 <= r["avg_conf_q"] <= 1_000_000
+    # extraction output still exact
+    golden = _spans_map(extract_docs_oracle(docs, CFG))
+    assert _spans_map(res["table"].read(spark).toPandas()) == golden
+
+
 def test_snapshot_chain_ignores_orphans(spark, tmp_path):
     """Data dirs written without a committed snapshot are invisible."""
     import os
