@@ -1,25 +1,32 @@
 """End-to-end extraction pipeline — idiomatic Spark composition.
 
-Topology (SURVEY.md §3.2/§3.3 re-expression):
+Two topologies (SURVEY.md §3.2/§3.3 re-expression):
 
-    docs ──explode_salted──> span rows ──repartition(doc_id, salt)──┐
-      ├─ text  : pure Catalyst (regexp_replace/trim/filter)          │
-      ├─ html  : mapInPandas(extract_html)   [Arrow batches]         │
-      ├─ pdf   : mapInPandas(extract_pdf)                            │
-      └─ image : progressive passes 1..K                             │
-                 pass k = mapInPandas(pass_candidates) on spans      │
-                          STILL UNRESOLVED after pass k-1            │
-                          (left-anti join on resolved ids — the      │
-                          reference's early-stop control flow as     │
-                          data flow, ocr_adapter_improved.py:        │
-                          1432-1456)                                 │
-                 A1 ranking, A2 merge: pure JVM window functions     │
-    unionByName ──two-phase reassembly (partial arrays per           │
-    (doc_id,salt), flatten+array_sort per doc)──> extracted docs
+**fused** (flagship, the throughput path — BENCH.md):
+
+    docs ──explode_salted──> span rows ──repartition(doc_id, salt)
+         ──ONE mapInPandas (text/html/pdf/ocr kernels dispatched per Arrow
+           batch; per-(doc,salt) sorted partial span arrays emitted)
+         ──groupBy(doc_id): flatten + array_sort (one compact payload
+           shuffle) ──broadcast spine join──> extracted docs
+
+**staged** (semantic-fidelity path — the reference's progressive early-stop
+as data flow, powering per-pass checkpoint lineage):
+
+    span rows ──┬─ text  : pure Catalyst (regexp_replace/trim/filter)
+                ├─ html  : mapInPandas(extract_html)
+                ├─ pdf   : mapInPandas(extract_pdf)
+                └─ image : progressive passes 1..K; pass k runs only on
+                           spans STILL UNRESOLVED after pass k-1
+                           (left-anti join on resolved ids,
+                           ocr_adapter_improved.py:1432-1456);
+                           A1 ranking + A2 merge as JVM window functions
+    unionByName ── two-phase reassembly (partial arrays per (doc_id,salt),
+    flatten+array_sort per doc) ──> extracted docs
 
 Everything relational (A1, A2, early-stop sets, ordering, reassembly) runs
-JVM-side under whole-stage codegen; Python only touches Arrow batches inside
-the three extraction kernels — no per-row Python anywhere (north_rule).
+JVM-side; Python only touches Arrow batches inside the extraction kernels —
+no per-row Python anywhere (north_rule).
 
 The per-doc output is bit-identical to the pandas oracle
 (`sources.corpus.extract_docs_oracle`): the only floating-point values that
@@ -184,26 +191,6 @@ def _mono_partial_kernel(cfg_dict: dict):
     return fn
 
 
-def _fused_ocr_kernel(cfg_dict: dict):
-    """Fused mode: all passes + A1 + A2 inside one Arrow batch (span rows are
-    self-contained).  Zero extra shuffles; same result as staged mode."""
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..config import ExtractConfig
-        from ..operators.ocr_extract import recover_ocr
-        cfg = ExtractConfig(**cfg_dict)
-        for b in batches:
-            if b.empty:
-                continue
-            out = recover_ocr(
-                b[["doc_id", "span_pos", "offset", "media_ref", "text"]], cfg)
-            out = out.merge(
-                b[["doc_id", "span_pos", "salt"]].drop_duplicates(),
-                on=["doc_id", "span_pos"], how="left")
-            yield out[["doc_id", "salt", "span_pos", "offset", "out_rank",
-                       "kind", "text", "media_ref"]]
-    return fn
-
-
 # --------------------------------------------------------------------------- #
 # Branch plans
 # --------------------------------------------------------------------------- #
@@ -236,12 +223,6 @@ def pdf_branch(rows: DataFrame, cfg: ExtractConfig) -> DataFrame:
             .select("doc_id", "salt", "span_pos", "offset", "text")
             .mapInPandas(_wrap_block_kernel(extract_pdf, cfg.as_dict()),
                          schema=ROW_SCHEMA))
-
-
-def ocr_branch_fused(rows: DataFrame, cfg: ExtractConfig) -> DataFrame:
-    return (rows.filter(F.col("kind") == "image")
-            .select("doc_id", "salt", "span_pos", "offset", "media_ref", "text")
-            .mapInPandas(_fused_ocr_kernel(cfg.as_dict()), schema=ROW_SCHEMA))
 
 
 def _a1_rank(cands: DataFrame) -> DataFrame:

@@ -185,7 +185,9 @@ def single_run(master: str, extraction_only: bool) -> dict:
     sys.path.insert(0, REPO)
     spark = make_spark(master)
     try:
-        iters = 3 if extraction_only else 1
+        # default mode also warms up + medians (2 iters): cold-run stalls on
+        # this guest are ~5x steady state and would dominate a single sample
+        iters = 3 if extraction_only else 2
         ext = bench_extraction(spark, SF_DIR, REPLICATE, iters=iters)
         queries = {} if extraction_only else bench_queries(spark, SF_DIR)
     finally:
