@@ -13,10 +13,11 @@ Conventions that make the cross-engine value-hash comparison exact:
 * timestamps are output as formatted strings, never raw;
 * aliases match exactly between the two sides (driver hashes by column name).
 
-Entries whose semantics are not SQL-expressible (the full extraction
-pipeline with progressive early-stop) have oracle=None — the driver records
-a rows-only check; their exactness is pinned by the pytest parity suite
-against the pandas oracle instead.
+Every entry has a DuckDB oracle — including the two flagship end-to-end
+extraction entries, whose oracle (plans.extract_oracle) replays the whole
+candidate chain in SQL generated from the same character maps.  The pytest
+parity suite additionally pins the kernels bit-exactly against the pandas
+oracle on richer synthetic corpora.
 """
 
 from __future__ import annotations
@@ -862,9 +863,12 @@ FROM documents
 
 
 # =========================================================================== #
-# 7. The extraction pipeline itself (rows-only: non-SQL-expressible —         #
-#    progressive early-stop + A1/A2 + expansion; exactness pinned by the      #
-#    pytest parity suite against the pandas oracle)                           #
+# 7. The extraction pipeline itself.  The driver-path corpus is closed-form   #
+#    (sources.derived), so the full pipeline — html strip + pdf layout +      #
+#    progressive OCR with early-stop + A1/A2 — has a real DuckDB oracle      #
+#    (plans.extract_oracle, generated from the same character maps).  The     #
+#    pytest parity suite additionally pins the kernels bit-exactly on the     #
+#    richer synthetic corpus (multi-pass early-stop variation etc.).          #
 # =========================================================================== #
 
 def _flatten(extracted: DataFrame) -> DataFrame:
@@ -889,8 +893,13 @@ def _q_extract_fused(spark, sf):
     return _flatten(extract_docs(docs, mode="fused"))
 
 
-_register("extract_pipeline_staged", _q_extract_staged, None)
-_register("extract_pipeline_fused", _q_extract_fused, None)
+def _extract_oracle() -> str:
+    from .extract_oracle import extract_oracle_sql
+    return extract_oracle_sql()
+
+
+_register("extract_pipeline_staged", _q_extract_staged, _extract_oracle())
+_register("extract_pipeline_fused", _q_extract_fused, _extract_oracle())
 
 
 # =========================================================================== #
