@@ -121,10 +121,87 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 def jaccard_verify(df: DataFrame, candidates: DataFrame,
                    id_col: str = "doc_id", text_col: str = "text",
                    shingle_n: int = 3, threshold_q: int = 500_000) -> DataFrame:
-    """Exact Jaccard restricted to LSH candidate pairs (the scale path)."""
-    pairs = jaccard_pairs(df, id_col, text_col, shingle_n, threshold_q=0)
-    return (pairs.join(candidates, ["id_a", "id_b"], "left_semi")
-            .filter(F.col("jaccard_q") >= threshold_q))
+    """Exact Jaccard restricted to LSH candidate pairs (the scale path).
+
+    Candidate-bounded by construction: docs are semi-joined to the candidate
+    id set BEFORE any shingle work, per-doc distinct-shingle SETS (not
+    exploded rows) are joined onto the candidate pairs, and the intersection
+    is computed per pair with ``array_intersect`` — so total cost is
+    O(candidate docs) shingling + O(candidate pairs) set intersections.
+    No aggregation ever sees a non-candidate pair (the round-1 shape
+    computed all co-shingling pairs first and semi-joined after, which
+    Catalyst cannot push below the aggregation — the exact blow-up LSH
+    exists to avoid).
+    """
+    ids = (candidates.select(F.col("id_a").alias("id"))
+           .unionByName(candidates.select(F.col("id_b").alias("id")))
+           .distinct())
+    sets = (df.join(ids, df[id_col] == ids["id"], "left_semi")
+            .select(F.col(id_col).alias("id"),
+                    F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+                    .alias("sh"))
+            .withColumn("sz", F.size("sh")))
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                    F.col("sz").alias("sz_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                    F.col("sz").alias("sz_b"))
+    return (candidates.select("id_a", "id_b")
+            .join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .filter(F.col("inter") > 0)
+            .withColumn("jaccard_q",
+                        F.floor(F.col("inter")
+                                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                                * 1_000_000).cast("long"))
+            .filter(F.col("jaccard_q") >= threshold_q)
+            .select("id_a", "id_b", "jaccard_q"))
+
+
+# --------------------------------------------------------------------------- #
+# Dedup group resolution: candidate pairs -> connected components -> keep-list
+# --------------------------------------------------------------------------- #
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+    """Resolve duplicate pairs into clusters: (id, component) where
+    ``component`` is the minimum doc id reachable through the pair graph —
+    the cluster's keep id (reference analog: collapse candidates to one final
+    deduped list, ``app/pipeline/tesseract_adapter.py:230-237``, at corpus
+    scale).
+
+    Algorithm: iterative min-label propagation — each round every node takes
+    the min of its own label and its neighbors' labels (one join + one
+    map-side-combinable min-aggregation per round), converging in
+    O(component diameter) rounds, with an early-exit fixpoint check.
+    Iterative lineage is truncated each round (localCheckpoint; on a cluster
+    the durable equivalent is a per-round icelite commit).
+
+    100 TB disposition: rounds are bounded by the diameter of the LARGEST
+    cluster, and near-dup clusters in web corpora are shallow (stars around
+    a template).  For adversarial long-chain graphs, the large-star/
+    small-star variant (Kiveris et al., "Connected Components in MapReduce")
+    drops rounds to O(log d) with the same join/agg primitives — this
+    implementation is the simple-and-correct fixpoint over the same shapes.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint()
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        prop = (sym.join(labels, sym["src"] == labels["id"])
+                .select(F.col("dst").alias("id"), "label"))
+        new = (labels.unionByName(prop)
+               .groupBy("id").agg(F.min("label").alias("label"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("label", "prev"), "id")
+                   .filter(F.col("label") != F.col("prev")).limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
 # --------------------------------------------------------------------------- #

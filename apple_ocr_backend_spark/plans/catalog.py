@@ -693,6 +693,40 @@ WHERE FLOOR(i.i / (sa.sz + sb.sz - i.i) * 1000000) >= 500000
 _register("dedup_lsh_verified", _q_dedup_lsh_verified, _lsh_verified_sql())
 
 
+def _q_dedup_components(spark, sf):
+    """Dedup group resolution — the step after pair generation: LSH candidate
+    pairs collapsed to connected components, emitting (doc_id, component)
+    where component = the cluster's min doc id (the keep id)."""
+    corpus = _dup_corpus(spark, sf).filter((F.col("doc_id") % 100000) < 200)
+    cands = DD.lsh_candidate_pairs(corpus, "doc_id", "text", k=12, bands=4)
+    return (DD.connected_components(cands)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
+
+
+def _components_sql() -> str:
+    # transitive closure via recursive CTE, then min reachable id per node —
+    # the small-scale oracle for the iterative min-label propagation
+    return f"""
+WITH RECURSIVE cand AS ({_minhash_sql(12, 4)}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach AS (
+  SELECT id, id AS peer FROM nodes
+  UNION
+  SELECT r.id, e.dst AS peer FROM reach r JOIN sym e ON e.src = r.peer
+)
+SELECT id AS doc_id, MIN(peer) AS component FROM reach GROUP BY id
+"""
+
+
+_register("dedup_components", _q_dedup_components, _components_sql())
+
+
 def _q_dedup_simhash(spark, sf):
     return (DD.simhash_dup_groups(T(spark, sf, "documents"), "doc_id", "text")
             .orderBy("simhash"))

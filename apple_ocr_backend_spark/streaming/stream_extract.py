@@ -16,6 +16,9 @@ unchanged; ``maxFilesPerTrigger`` bounds micro-batch size on a cluster.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import ExtractConfig, DEFAULT_CONFIG
@@ -24,27 +27,62 @@ from ..sources.corpus import DOCS_DDL
 from ..sources.icelite import Table
 
 
+def commit_epoch(table: Table, batch: DataFrame, epoch_id: int,
+                 cfg: ExtractConfig = DEFAULT_CONFIG, mode: str = "fused",
+                 run_id: str = "run") -> bool:
+    """Idempotently extract one micro-batch into ``table``.
+
+    Exactly-once: Structured Streaming may replay an epoch after a failure;
+    the icelite snapshot log is the idempotence ledger.  The ledger key is
+    ``(run_id, epoch_id)`` — epoch ids are scoped to a checkpoint lineage
+    and restart at 0 under a fresh checkpoint, so a bare epoch key would
+    wrongly skip the first batches of a NEW run against the same table.
+
+    The extracted frame is persisted so the pipeline (salting, kernels,
+    reassembly shuffle) executes exactly once per micro-batch — the count
+    materializes the cache and the append reads it back.
+
+    Returns True if the batch was committed, False if it was a replay.
+    """
+    key = f"{run_id}/{epoch_id}"
+    if key in table.committed_units("epoch_key"):
+        return False
+    extracted = extract_docs(batch, cfg, mode=mode).persist()
+    try:
+        n = extracted.count()
+        table.append(extracted, operation=f"stream/epoch={key}",
+                     summary={"epoch_key": key, "epoch": epoch_id,
+                              "run_id": run_id, "docs_in": n})
+    finally:
+        extracted.unpersist()
+    return True
+
+
 def stream_extract(spark: SparkSession, input_dir: str, table_dir: str,
                    checkpoint_dir: str, cfg: ExtractConfig = DEFAULT_CONFIG,
-                   mode: str = "fused", max_files_per_trigger: int | None = None):
+                   mode: str = "fused", max_files_per_trigger: int | None = None,
+                   run_id: str | None = None):
     """Incrementally extract docs parquet files from ``input_dir`` into the
     icelite table at ``table_dir``.  Returns the started query (AvailableNow:
-    drains what exists, then stops)."""
+    drains what exists, then stops).
+
+    ``run_id`` scopes the exactly-once ledger; it defaults to a fingerprint
+    of the checkpoint location, because that is exactly the scope within
+    which Structured Streaming epoch ids are meaningful (replays within one
+    checkpoint lineage dedupe; a fresh checkpoint reprocesses the source
+    from scratch by Spark's own contract, and its commits must not be
+    swallowed by a stale ledger)."""
     table = Table(table_dir)
+    if run_id is None:
+        run_id = hashlib.md5(
+            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
     reader = spark.readStream.schema(DOCS_DDL)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_dir)
 
     def commit_batch(batch: DataFrame, epoch_id: int) -> None:
-        # Exactly-once: Structured Streaming may replay an epoch after a
-        # failure; the icelite snapshot log is the idempotence ledger.
-        if epoch_id in table.committed_units("epoch"):
-            return
-        extracted = extract_docs(batch, cfg, mode=mode)
-        n = extracted.count()
-        table.append(extracted, operation=f"stream/epoch={epoch_id}",
-                     summary={"epoch": epoch_id, "docs_in": n})
+        commit_epoch(table, batch, epoch_id, cfg, mode=mode, run_id=run_id)
 
     return (docs.writeStream
             .foreachBatch(commit_batch)

@@ -23,9 +23,13 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     golden = _spans_map(extract_docs_oracle(docs, CFG))
     sdf = _to_spark_docs(spark, docs)
     in_dir = str(tmp_path / "in")
-    # two files -> at least one micro-batch boundary exercised
-    sdf.limit(20).write.parquet(os.path.join(in_dir, "a"))
-    sdf.subtract(sdf.limit(20)).write.parquet(os.path.join(in_dir, "b"))
+    # two files -> at least one micro-batch boundary exercised; the split is
+    # a deterministic doc_id predicate (limit() without ordering may pick
+    # different rows per execution)
+    first = sdf.filter("doc_id < 'doc_00000020'")
+    rest = sdf.filter("doc_id >= 'doc_00000020'")
+    first.write.parquet(os.path.join(in_dir, "a"))
+    rest.write.parquet(os.path.join(in_dir, "b"))
 
     q = stream_extract(spark, in_dir + "/*", str(tmp_path / "tbl"),
                        str(tmp_path / "ckpt"), CFG,
@@ -39,25 +43,89 @@ def test_stream_extract_matches_batch(spark, tmp_path):
 
 
 def test_stream_epoch_replay_is_idempotent(spark, tmp_path):
-    """A replayed epoch id must not double-append (exactly-once ledger)."""
+    """A replayed (run_id, epoch) must not double-append (exactly-once
+    ledger) — exercised directly via commit_epoch, which is what
+    foreachBatch invokes on a post-failure replay."""
+    from apple_ocr_backend_spark.sources.icelite import Table
+    from apple_ocr_backend_spark.streaming.stream_extract import commit_epoch
     docs = make_corpus(10, seed=3)
+    sdf = _to_spark_docs(spark, docs)
+    t = Table(str(tmp_path / "tbl"))
+
+    assert commit_epoch(t, sdf, 0, CFG, run_id="r1") is True
+    n1 = t.read(spark).count()
+    snaps1 = len(t.snapshots())
+    # replayed micro-batch: same run, same epoch -> no-op
+    assert commit_epoch(t, sdf, 0, CFG, run_id="r1") is False
+    assert t.read(spark).count() == n1
+    assert len(t.snapshots()) == snaps1
+    # a NEW run (fresh checkpoint lineage) restarts epoch numbering at 0;
+    # its commits must NOT be swallowed by the previous run's ledger entries
+    assert commit_epoch(t, sdf, 0, CFG, run_id="r2") is True
+    assert len(t.snapshots()) == snaps1 + 1
+
+
+def test_stream_fresh_checkpoint_sees_new_files(spark, tmp_path):
+    """ADVICE round 1: with the ledger keyed on the bare epoch id, a second
+    streaming run with a fresh checkpoint over a directory that gained files
+    silently dropped them.  The run-scoped ledger must process them."""
+    from apple_ocr_backend_spark.sources.icelite import Table
+    docs = make_corpus(12, seed=7)
+    sdf = _to_spark_docs(spark, docs)
+    in_dir = str(tmp_path / "in")
+    sdf.filter("doc_id < 'doc_00000006'").write.parquet(
+        os.path.join(in_dir, "a"))
+
+    tbl_dir = str(tmp_path / "tbl")
+    q = stream_extract(spark, in_dir + "/*", tbl_dir,
+                       str(tmp_path / "ckpt1"), CFG)
+    q.awaitTermination(120)
+    t = Table(tbl_dir)
+    assert t.read(spark).count() == 6
+
+    # new data lands; the operator restarts with a FRESH checkpoint
+    sdf.filter("doc_id >= 'doc_00000006'").write.parquet(
+        os.path.join(in_dir, "b"))
+    q2 = stream_extract(spark, in_dir + "/*", tbl_dir,
+                        str(tmp_path / "ckpt2"), CFG)
+    q2.awaitTermination(120)
+    got = t.read(spark)
+    # every new doc is present (file 'a' is re-read under the fresh
+    # checkpoint — Spark's own semantics; the ledger must not lose 'b')
+    new_ids = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
+    assert {f"doc_{i:08d}" for i in range(12)} <= new_ids
+
+
+def test_stream_single_execution_per_epoch(spark, tmp_path, monkeypatch):
+    """The fused pipeline must run ONCE per micro-batch (round-1 verdict:
+    count() + append() re-executed the whole plan).  An accumulator inside a
+    pass-through kernel counts materialized rows: exactly one per doc."""
+    import apple_ocr_backend_spark.streaming.stream_extract as SE
+    docs = make_corpus(15, seed=5)
     sdf = _to_spark_docs(spark, docs)
     in_dir = str(tmp_path / "in")
     sdf.write.parquet(in_dir)
 
-    tbl_dir = str(tmp_path / "tbl")
-    q = stream_extract(spark, in_dir, tbl_dir, str(tmp_path / "ckpt"), CFG)
+    acc = spark.sparkContext.accumulator(0)
+    orig = SE.extract_docs
+
+    def counting(batch, cfg, mode="fused", **kw):
+        out = orig(batch, cfg, mode=mode, **kw)
+
+        def tick(batches):
+            for b in batches:
+                acc.add(len(b))
+                yield b
+        return out.mapInPandas(tick, schema=out.schema)
+
+    monkeypatch.setattr(SE, "extract_docs", counting)
+    q = stream_extract(spark, in_dir, str(tmp_path / "tbl"),
+                       str(tmp_path / "ckpt"), CFG)
     q.awaitTermination(120)
     from apple_ocr_backend_spark.sources.icelite import Table
-    t = Table(tbl_dir)
-    n1 = t.read(spark).count()
-    snaps1 = len(t.snapshots())
-
-    # replay epoch 0 against a fresh checkpoint (simulates failure recovery)
-    q2 = stream_extract(spark, in_dir, tbl_dir, str(tmp_path / "ckpt2"), CFG)
-    q2.awaitTermination(120)
-    assert t.read(spark).count() == n1
-    assert len(t.snapshots()) == snaps1
+    n = Table(str(tmp_path / "tbl")).read(spark).count()
+    assert n == len(docs)
+    assert acc.value == n, f"pipeline executed {acc.value / n:.1f}x per epoch"
 
 
 def test_windowed_event_counts_stream_equals_batch(spark, tmp_path):
