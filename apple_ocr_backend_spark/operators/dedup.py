@@ -14,7 +14,9 @@ Scale notes (100 TB disposition):
   skew risk: cap handled by AQE skew-join + the band key's 3-hash width.
 * n-gram Jaccard is the EXACT verifier for LSH candidates — at scale run it
   only on the candidate pairs, as `jaccard_verify` does.
-* SimHash: 16-bit signatures via integer bit arithmetic — groupBy signature.
+* SimHash: 64-bit signatures as 4x16-bit words via integer bit arithmetic;
+  the word split doubles as Hamming banding (pigeonhole: distance <= 3 means
+  at least one identical word), so candidates come from an equi-join.
 * embedding near-dup: IVF-style — pairs only within the same `label` cell
   (precomputed coarse cluster), quantized integer dot products.
 """
@@ -212,37 +214,73 @@ def _hex_val(ch: Column) -> Column:
     return F.conv(ch, 16, 10).cast("int")
 
 
-def simhash16(df: DataFrame, id_col: str = "doc_id",
+def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-    """16-bit SimHash from token md5s (bits = first 4 hex chars, MSB first).
+    """64-bit SimHash from token md5s, stored as four 16-bit words
+    ``(id, w0..w3)`` — word w holds global bits [16w, 16w+16), each derived
+    from one hex nibble (MSB first) of the token md5.
 
-    Per token occurrence, bit b contributes +1/-1; the signature sets bit b
-    when the sum is positive.  Pure integer arithmetic — explode + groupBy.
+    Per token occurrence, bit j contributes +1/-1; the signature sets bit j
+    when the sum is positive.  Pure integer arithmetic — one explode + one
+    map-side-combinable groupBy.  The word split IS the Hamming banding: two
+    signatures within Hamming distance 3 agree on at least one of the 4
+    words (pigeonhole), so near-dup candidate generation is an equi-join on
+    (band, word) — no signature-space scan (the round-1 16-bit variant
+    grouped identical signatures over a 65,536-value space, a false-positive
+    factory at corpus scale).
     """
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
                       .alias("tok"))
             .withColumn("h", F.md5(F.col("tok"))))
     cols = []
-    for b in range(16):
-        ch = F.substring(F.col("h"), 1 + b // 4, 1)
-        bit = F.floor(_hex_val(ch) / (2 ** (3 - b % 4))) % 2
-        cols.append(F.sum(bit * 2 - 1).alias(f"c{b}"))
+    for j in range(64):
+        ch = F.substring(F.col("h"), 1 + j // 4, 1)
+        bit = F.floor(_hex_val(ch) / (2 ** (3 - j % 4))) % 2
+        cols.append(F.sum(bit * 2 - 1).alias(f"c{j}"))
     sums = toks.groupBy("id").agg(*cols)
-    sig = None
-    for b in range(16):
-        term = F.when(F.col(f"c{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return sums.select("id", sig.cast("long").alias("simhash"))
+    words = []
+    for w in range(4):
+        word = None
+        for k in range(16):
+            j = w * 16 + k
+            term = (F.when(F.col(f"c{j}") > 0, F.lit(2 ** k))
+                    .otherwise(F.lit(0)))
+            word = term if word is None else word + term
+        words.append(word.cast("long").alias(f"w{w}"))
+    return sums.select("id", *words)
 
 
-def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """Docs with identical SimHash signature (near-dup buckets)."""
-    return (simhash16(df, id_col, text_col)
-            .groupBy("simhash")
-            .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
-            .filter(F.col("n_docs") > 1))
+def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           hamming_max: int = 3) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash: banded candidate generation
+    (equi-join on any agreeing 16-bit word) + exact Hamming verification
+    (popcount of XOR).  Exact for ``hamming_max <= 3`` by pigeonhole over
+    4 bands.  Returns (id_a, id_b, hamming)."""
+    sig = simhash64(df, id_col, text_col)
+    band_rows = sig.select(
+        "id", F.posexplode(F.array("w0", "w1", "w2", "w3"))
+        .alias("band", "word"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.word") == F.col("b.word"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    sa = sig.select(F.col("id").alias("id_a"),
+                    *[F.col(f"w{w}").alias(f"a{w}") for w in range(4)])
+    sb = sig.select(F.col("id").alias("id_b"),
+                    *[F.col(f"w{w}").alias(f"b{w}") for w in range(4)])
+    ham = None
+    for w in range(4):
+        t = F.bit_count(F.col(f"a{w}").bitwiseXOR(F.col(f"b{w}")))
+        ham = t if ham is None else ham + t
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= hamming_max)
+            .select("id_a", "id_b", "hamming"))
 
 
 # --------------------------------------------------------------------------- #

@@ -265,7 +265,11 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)
 
 
-# --- W4 pagination: sort + offset/limit as a rank window
+# --- W4 pagination: sort + offset/limit as a rank window.  SEMANTICS-COMPAT
+# ONLY: the unpartitioned row_number window funnels the whole table through
+# one task (matches the reference's offset pagination, app/routers/
+# serials.py:221-230, and is fine at its scale).  The scale-safe form is
+# `history_keyset` below — prefer it everywhere a cursor is available.
 def _q_history_page(spark, sf):
     e = T(spark, sf, "events")
     w = W.orderBy(F.desc("ts"), F.asc("event_id"))
@@ -283,6 +287,32 @@ WITH ranked AS (
 )
 SELECT rn, event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
 FROM ranked WHERE rn > 10 AND rn <= 30
+""")
+
+
+# --- W4 scale path: keyset pagination.  The cursor is the (ts, event_id) of
+# the last row of the previous page; the page is a pushed-down predicate +
+# top-N — Spark plans TakeOrderedAndProject (per-partition partial top-20,
+# merge on the driver), no global window, no single-partition exchange.
+def _q_history_keyset(spark, sf):
+    e = T(spark, sf, "events")
+    cur_ts = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    cur_id = F.lit(10_000)
+    after_cursor = (F.col("ts") < cur_ts) | \
+        ((F.col("ts") == cur_ts) & (F.col("event_id") > cur_id))
+    return (e.filter(after_cursor)
+            .orderBy(F.desc("ts"), F.asc("event_id"))
+            .limit(20)
+            .select("event_id", "event_type",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s")))
+
+
+_register("history_keyset", _q_history_keyset, """
+SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events
+WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+   OR (ts = TIMESTAMP '2024-02-01 00:00:00' AND event_id > 10000)
+ORDER BY ts DESC, event_id ASC LIMIT 20
 """)
 
 
@@ -728,29 +758,49 @@ _register("dedup_components", _q_dedup_components, _components_sql())
 
 
 def _q_dedup_simhash(spark, sf):
-    return (DD.simhash_dup_groups(T(spark, sf, "documents"), "doc_id", "text")
-            .orderBy("simhash"))
+    """64-bit SimHash near-dup pairs: banded (4x16-bit word equi-join)
+    candidate generation + exact Hamming verify (bit_count of XOR)."""
+    corpus = _dup_corpus(spark, sf).filter((F.col("doc_id") % 100000) < 200)
+    return (DD.simhash_near_dup_pairs(corpus, "doc_id", "text", hamming_max=3)
+            .orderBy("id_a", "id_b"))
 
 
 def _simhash_sql() -> str:
     bit_sums = []
-    for b in range(16):
-        ch = f"substring(h, {1 + b // 4}, 1)"
+    for j in range(64):
+        ch = f"substring(h, {1 + j // 4}, 1)"
         val = f"(strpos('0123456789abcdef', {ch}) - 1)"
-        bit = f"(CAST(FLOOR({val} / {2 ** (3 - b % 4)}) AS BIGINT) % 2)"
-        bit_sums.append(f"SUM({bit}*2 - 1) AS c{b}")
-    sig = " + ".join(
-        f"(CASE WHEN c{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+        bit = f"(CAST(FLOOR({val} / {2 ** (3 - j % 4)}) AS BIGINT) % 2)"
+        bit_sums.append(f"SUM({bit}*2 - 1) AS c{j}")
+    words = []
+    for w in range(4):
+        word = " + ".join(
+            f"(CASE WHEN c{w * 16 + k} > 0 THEN {2 ** k} ELSE 0 END)"
+            for k in range(16))
+        words.append(f"CAST({word} AS BIGINT) AS w{w}")
+    ham = " + ".join(f"bit_count(xor(sa.w{w}, sb.w{w}))" for w in range(4))
     return f"""
-WITH toks AS (
+WITH corpus AS ({_DUP_SQL}),
+bounded AS (SELECT * FROM corpus WHERE doc_id % 100000 < 200),
+toks AS (
   SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-  FROM documents
+  FROM bounded
 ),
 hashed AS (SELECT id, md5(tok) AS h FROM toks),
 sums AS (SELECT id, {', '.join(bit_sums)} FROM hashed GROUP BY id),
-sigs AS (SELECT id, CAST({sig} AS BIGINT) AS simhash FROM sums)
-SELECT simhash, COUNT(*) AS n_docs, MIN(id) AS keep_id
-FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+sigs AS (SELECT id, {', '.join(words)} FROM sums),
+bands AS (
+  SELECT id, band, word FROM sigs,
+       LATERAL (VALUES (0, w0), (1, w1), (2, w2), (3, w3)) AS t(band, word)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.word = b.word AND a.id < b.id
+)
+SELECT c.id_a, c.id_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+WHERE {ham} <= 3
 """
 
 
