@@ -55,6 +55,62 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
             .select("q_id", "cell", "rank", "n_id", "cos_q"))
 
 
+def kmeans_cells(emb: DataFrame, k: int = 8, sample_n: int = 256,
+                 iters: int = 3, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 scale: int = 1_000_000) -> DataFrame:
+    """Deterministic IVF cell construction: integer-quantized k-means.
+
+    The fit is a tiny driver-side job — the first ``sample_n`` vectors by id
+    are collected (k x dim and sample x dim are both trivially small), the
+    centroids are refined for a FIXED ``iters`` rounds with pure integer /
+    floor arithmetic (init = first ``k`` vectors; assignment = min quantized
+    squared distance, ties to the lowest cell; update = floor(mean) per
+    dimension in quantized units; empty cells keep their previous centroid),
+    and the final centroids are broadcast into a distributed assignment
+    expression.  No RNG anywhere, so the DuckDB oracle replays the identical
+    fit in SQL (unrolled iterations) and lands on the same cells.
+
+    100 TB disposition: sample-collect + broadcast-assign is the standard
+    shape — the fit never touches the full corpus, and assignment is one
+    map-only pass (k quantized dot products per row, JVM-side).
+
+    Returns ``emb`` with an added integer ``cell`` column.
+    """
+    import numpy as np
+
+    def qv_expr():
+        return F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+    samp = (emb.filter(F.col(id_col) < sample_n)
+            .select(F.col(id_col).alias("id"), qv_expr().alias("qv"))
+            .orderBy("id").collect())
+    qs = np.array([r["qv"] for r in samp], dtype=np.int64)
+    cent = qs[:k].copy()
+    for _ in range(iters):
+        d = ((qs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # ties -> lowest cell, like ORDER BY cell
+        for c in range(k):
+            members = qs[assign == c]
+            if len(members):
+                cent[c] = np.floor(
+                    members.sum(axis=0).astype(np.float64) / len(members)
+                ).astype(np.int64)
+    dists = [
+        F.aggregate(
+            F.zip_with(qv_expr(),
+                       F.array(*[F.lit(int(x)) for x in cent[c]]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+        for c in range(k)]
+    cell = F.array_min(F.array(*[
+        F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
+        for c in range(k)]))["c"]
+    return emb.withColumn("cell", cell)
+
+
 def hyperplane_lsh_buckets(emb: DataFrame, n_planes: int = 8,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",

@@ -894,6 +894,86 @@ SELECT q_id, cell, rank, n_id, cos_q FROM ranked WHERE rank <= 5
 """)
 
 
+def _q_ann_ivf_fitted(spark, sf):
+    """IVF with the index actually CONSTRUCTED (round-1 gap): deterministic
+    integer-quantized k-means fit (driver-side on a tiny sample, no RNG)
+    assigns every vector a cell; search is nprobe=1 within the fitted cell."""
+    e = T(spark, sf, "embeddings")
+    withcell = SS.kmeans_cells(e, k=8, sample_n=256, iters=3)
+    return (SS.ivf_topk(withcell, n_queries=10, k=5, cell_col="cell")
+            .orderBy("q_id", "rank"))
+
+
+def _kmeans_ctes(k: int = 8, sample_n: int = 256, iters: int = 3,
+                 dim: int = 64, scale: int = 1_000_000) -> str:
+    """Unrolled fixed-iteration k-means as chained CTEs, ending in
+    ``assign(vec_id, embedding, cell)`` — replays kmeans_cells exactly
+    (same init, integer distances, floor-mean updates, tie-breaks)."""
+    def dist(a: str, b: str) -> str:
+        return (f"CAST(list_sum([({a}[i]-{b}[i])*({a}[i]-{b}[i]) "
+                f"FOR i IN range(1,{dim + 1})]) AS BIGINT)")
+
+    parts = [f"""
+qemb AS (
+  SELECT vec_id, embedding,
+         [CAST(FLOOR(embedding[i]::DOUBLE * {scale}) AS BIGINT)
+          FOR i IN range(1,{dim + 1})] AS qv
+  FROM embeddings
+),
+samp AS (SELECT vec_id, qv FROM qemb WHERE vec_id < {sample_n}),
+cent0 AS (SELECT vec_id AS cell, qv FROM samp WHERE vec_id < {k})"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+asg{t} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT s.vec_id, s.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                              ORDER BY {dist('s.qv', 'c.qv')} ASC,
+                                       c.cell ASC) AS rn
+    FROM samp s CROSS JOIN cent{t - 1} c) WHERE rn = 1
+),
+mean{t} AS (
+  SELECT cell, dims.i AS i,
+         CAST(FLOOR(CAST(SUM(qv[dims.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM asg{t}, (SELECT unnest(range(1,{dim + 1})) AS i) dims
+  GROUP BY cell, dims.i
+),
+newc{t} AS (SELECT cell, list(m ORDER BY i) AS qv FROM mean{t} GROUP BY cell),
+cent{t} AS (
+  SELECT p.cell, COALESCE(n.qv, p.qv) AS qv
+  FROM cent{t - 1} p LEFT JOIN newc{t} n ON p.cell = n.cell
+)""")
+    parts.append(f"""
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist('e.qv', 'c.qv')} ASC,
+                                       c.cell ASC) AS rn
+    FROM qemb e CROSS JOIN cent{iters} c) WHERE rn = 1
+)""")
+    return ",".join(parts)
+
+
+_register("ann_ivf_fitted", _q_ann_ivf_fitted, f"""
+WITH {_kmeans_ctes()},
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM assign
+      WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, q.cell, e.vec_id AS n_id,
+         {_COS_SQL.format(a='q.q_vec', b='e.embedding')} AS cos_q
+  FROM assign e JOIN q ON e.cell = q.cell WHERE e.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, cell, n_id, cos_q,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_q DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, cell, rank, n_id, cos_q FROM ranked WHERE rank <= 5
+""")
+
+
 def _q_ann_lsh(spark, sf):
     return (SS.lsh_bucket_topk(T(spark, sf, "embeddings"),
                                n_queries=10, k=5, n_planes=8)

@@ -55,3 +55,61 @@ def test_generate_excel_gated(spark, tmp_path):
     else:
         with pytest.raises(NotImplementedError, match="openpyxl"):
             generate_excel(df, str(tmp_path / "r.xlsx"))
+
+
+# ----------------------------- S10 xlsx source ----------------------------- #
+
+def _write_csv(tmp_path, headers, rows, name="serials.csv"):
+    import csv
+    p = str(tmp_path / name)
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(headers)
+        w.writerows(rows)
+    return p
+
+
+def test_xlsx_source_fuzzy_header_exact_normalized(tmp_path):
+    """'Serial N0.' normalizes to 'serialn0' == norm('serial no') — the
+    reference's O/0 confusion fold (generate_image.py:50-53)."""
+    from apple_ocr_backend_spark.sources.xlsx import load_serials
+    p = _write_csv(tmp_path, ["id", "Serial N0.", "notes"],
+                   [[1, "c02y95a8jg5h", "x"],
+                    [2, "  F5KVN0DKHJC5 ", "y"],
+                    [3, "SHORT", "z"],
+                    [4, "", ""]])
+    assert load_serials(p, "serial no") == ["C02Y95A8JG5H", "F5KVN0DKHJC5"]
+
+
+def test_xlsx_source_substring_fallback(tmp_path):
+    from apple_ocr_backend_spark.sources.xlsx import load_serials
+    # no exact match for 'sn'; 'Device Serial Number' contains 'serial'
+    p = _write_csv(tmp_path, ["Device Serial Number", "other"],
+                   [["DGKFL96JDRVG", "a"]])
+    assert load_serials(p, "sn") == ["DGKFL96JDRVG"]
+
+
+def test_xlsx_source_missing_column_raises(tmp_path):
+    from apple_ocr_backend_spark.sources.xlsx import load_serials
+    p = _write_csv(tmp_path, ["alpha", "beta"], [["x", "y"]])
+    with pytest.raises(ValueError, match="not found"):
+        load_serials(p, "gamma")
+
+
+def test_xlsx_source_engine_gated(tmp_path):
+    from apple_ocr_backend_spark.sources.xlsx import load_serials_from_xlsx
+    try:
+        import openpyxl  # noqa: F401
+        pytest.skip("openpyxl present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        load_serials_from_xlsx(str(tmp_path / "f.xlsx"), "serial")
+
+
+def test_xlsx_source_to_spark_broadcast_side(spark, tmp_path):
+    from apple_ocr_backend_spark.sources.xlsx import load_serials, to_spark
+    p = _write_csv(tmp_path, ["serial"],
+                   [["C02Y95A8JG5H"], ["F5KVN0DKHJC5"]])
+    df = to_spark(spark, load_serials(p))
+    assert df.count() == 2 and df.columns == ["serial"]
