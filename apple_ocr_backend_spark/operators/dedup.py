@@ -65,7 +65,9 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     """LSH banding: docs agreeing on any full band of k/bands minhashes become
     a candidate pair.  Returns (id_a, id_b) with id_a < id_b, distinct."""
     r = k // bands
-    sig = minhash_signature(df, id_col, text_col, k, shingle_n)
+    # persist: the band-row frame self-joins, and without the cache the
+    # whole signature subtree (explode + k-min groupBy) is computed twice
+    sig = minhash_signature(df, id_col, text_col, k, shingle_n).persist()
     # one posexplode, not a bands-way union: a union of projections makes
     # Catalyst replicate the whole signature subtree per band (audited:
     # 24 scans / 18 exchanges for bands=4 on the old shape)
@@ -135,6 +137,9 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame,
     Catalyst cannot push below the aggregation — the exact blow-up LSH
     exists to avoid).
     """
+    # the candidate frame is referenced three times (two id projections +
+    # the pair join); persist so the LSH subplan isn't re-expanded per ref
+    candidates = candidates.persist()
     ids = (candidates.select(F.col("id_a").alias("id"))
            .unionByName(candidates.select(F.col("id_b").alias("id")))
            .distinct())
@@ -258,7 +263,9 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     (equi-join on any agreeing 16-bit word) + exact Hamming verification
     (popcount of XOR).  Exact for ``hamming_max <= 3`` by pigeonhole over
     4 bands.  Returns (id_a, id_b, hamming)."""
-    sig = simhash64(df, id_col, text_col)
+    # referenced four times (both band sides + both verify sides): persist so
+    # the signature computation (explode + 64-bit-sum groupBy) runs once
+    sig = simhash64(df, id_col, text_col).persist()
     band_rows = sig.select(
         "id", F.posexplode(F.array("w0", "w1", "w2", "w3"))
         .alias("band", "word"))
