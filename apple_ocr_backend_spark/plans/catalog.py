@@ -905,7 +905,8 @@ def _q_ann_ivf_fitted(spark, sf):
 
 
 def _kmeans_ctes(k: int = 8, sample_n: int = 256, iters: int = 3,
-                 dim: int = 64, scale: int = 1_000_000) -> str:
+                 dim: int = 64, scale: int = 1_000_000,
+                 src: str = "embeddings") -> str:
     """Unrolled fixed-iteration k-means as chained CTEs, ending in
     ``assign(vec_id, embedding, cell)`` — replays kmeans_cells exactly
     (same init, integer distances, floor-mean updates, tie-breaks)."""
@@ -918,7 +919,7 @@ qemb AS (
   SELECT vec_id, embedding,
          [CAST(FLOOR(embedding[i]::DOUBLE * {scale}) AS BIGINT)
           FOR i IN range(1,{dim + 1})] AS qv
-  FROM embeddings
+  FROM {src}
 ),
 samp AS (SELECT vec_id, qv FROM qemb WHERE vec_id < {sample_n}),
 cent0 AS (SELECT vec_id AS cell, qv FROM samp WHERE vec_id < {k})"""]
@@ -971,6 +972,40 @@ ranked AS (
   FROM scored
 )
 SELECT q_id, cell, rank, n_id, cos_q FROM ranked WHERE rank <= 5
+""")
+
+
+def _q_dedup_embedding_fitted(spark, sf):
+    """Embedding near-dup with the coarse cells CONSTRUCTED by the
+    deterministic k-means fit (not the precomputed label column) — the
+    companion of ann_ivf_fitted on the dedup side."""
+    e = T(spark, sf, "embeddings")
+    jit = e.select((F.col("vec_id") + 100000).alias("vec_id"),
+                   F.transform("embedding",
+                               lambda x: (x.cast("double") * 1.001).cast("float"))
+                   .alias("embedding"))
+    corpus = e.select("vec_id", "embedding").unionByName(jit)
+    withcell = SS.kmeans_cells(corpus, k=8, sample_n=256, iters=3)
+    return (DD.embedding_dup_pairs(withcell, cell_col="cell",
+                                   threshold_q=990_000)
+            .orderBy("id_a", "id_b"))
+
+
+_register("dedup_embedding_fitted", _q_dedup_embedding_fitted, f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         [CAST(x::DOUBLE * 1.001 AS FLOAT) FOR x IN embedding]
+  FROM embeddings
+),
+{_kmeans_ctes(src='corpus')},
+pairs AS (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_q
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT cell, id_a, id_b, cos_q FROM pairs WHERE cos_q >= 990000
 """)
 
 

@@ -36,7 +36,8 @@ def bucket_of(doc_id_col, n_buckets: int):
 def run_resumable(spark: SparkSession, docs: DataFrame, table_dir: str,
                   cfg: ExtractConfig = DEFAULT_CONFIG, n_buckets: int = 8,
                   mode: str = "fused", run_id: str = "run",
-                  fail_after: int | None = None) -> dict:
+                  fail_after: int | None = None,
+                  concurrency: int = 1) -> dict:
     """Extract ``docs`` into the icelite table at ``table_dir``, one commit
     per doc bucket; skips buckets already committed (resume).
 
@@ -48,7 +49,12 @@ def run_resumable(spark: SparkSession, docs: DataFrame, table_dir: str,
     anti-joins) at the cost of per-pass barrier jobs.
 
     ``fail_after`` (tests only): raise after committing that many buckets,
-    simulating a kill between stage commits.
+    simulating a kill between stage commits (forces serial execution).
+
+    ``concurrency`` > 1 processes buckets in parallel threads — Spark
+    schedules the concurrent jobs across the same executors (free throughput
+    when single-bucket jobs can't saturate the cluster); each bucket's
+    commit stays atomic (icelite serializes the commit point).
 
     Returns {"processed": [bucket ids worked this run], "skipped": [...],
     "table": Table}.
@@ -57,18 +63,18 @@ def run_resumable(spark: SparkSession, docs: DataFrame, table_dir: str,
     done = table.committed_units("bucket")
     docs_b = docs.withColumn("_bucket", bucket_of(F.col("doc_id"), n_buckets))
     docs_b = docs_b.persist()
-    processed, skipped = [], []
-    for b in range(n_buckets):
-        if b in done:
-            skipped.append(b)
-            continue
+    skipped = [b for b in range(n_buckets) if b in done]
+    todo = [b for b in range(n_buckets) if b not in done]
+    processed: list[int] = []
+
+    def work(b: int) -> None:
         t0 = time.time()
         sub = docs_b.filter(F.col("_bucket") == b).drop("_bucket")
 
         # staged mode: per-pass, per-partition lineage (north_rule: "every
         # stage writes per-partition lineage + extraction metrics").  The
-        # per-pass A1 frames are already materialized (localCheckpoint), so
-        # these counts are cheap reads of cached blocks.
+        # per-pass A1 frames are persist()-ed by the staged plan, so these
+        # counts are cheap reads of cached blocks.
         stage_rows: list[dict] = []
 
         def on_stage(p: int, a1):
@@ -129,8 +135,18 @@ def run_resumable(spark: SparkSession, docs: DataFrame, table_dir: str,
         table.append(extracted, operation=f"extract/bucket={b}",
                      summary=summary, lineage=lineage + stage_rows)
         processed.append(b)
-        if fail_after is not None and len(processed) >= fail_after:
-            docs_b.unpersist()
-            raise RuntimeError(f"injected failure after {fail_after} buckets")
-    docs_b.unpersist()
+
+    try:
+        if concurrency <= 1 or fail_after is not None:
+            for b in todo:
+                work(b)
+                if fail_after is not None and len(processed) >= fail_after:
+                    raise RuntimeError(
+                        f"injected failure after {fail_after} buckets")
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=concurrency) as ex:
+                list(ex.map(work, todo))  # re-raises worker exceptions
+    finally:
+        docs_b.unpersist()
     return {"processed": processed, "skipped": skipped, "table": table}

@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 import time
 import uuid
 
@@ -37,6 +38,10 @@ class Table:
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "_staging"), exist_ok=True)
+        # serializes the commit point for same-process concurrent appends
+        # (e.g. run_resumable bucket concurrency); a real Iceberg catalog
+        # provides this via atomic snapshot CAS + commit retry
+        self._commit_lock = threading.Lock()
 
     # ------------------------------------------------------------------ #
     def snapshots(self) -> list[dict]:
@@ -71,24 +76,26 @@ class Table:
         final = os.path.join(self.path, "data", data_name)
         os.rename(staging, final)  # atomic on one filesystem
 
-        parent = self.last_snapshot()
-        sid = (parent["snapshot_id"] + 1) if parent else 1
-        snap = {
-            "snapshot_id": sid,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "committed_at": time.time(),
-            "operation": operation,
-            "data_dirs": [f"data/{data_name}"],
-            "summary": summary or {},
-            "lineage": lineage or [],
-        }
-        tmp = os.path.join(self.path, "_staging", f"snap_{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(self.path, "snapshots", f"v{sid}.json"))
-        return sid
+        with self._commit_lock:
+            parent = self.last_snapshot()
+            sid = (parent["snapshot_id"] + 1) if parent else 1
+            snap = {
+                "snapshot_id": sid,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "committed_at": time.time(),
+                "operation": operation,
+                "data_dirs": [f"data/{data_name}"],
+                "summary": summary or {},
+                "lineage": lineage or [],
+            }
+            tmp = os.path.join(self.path, "_staging",
+                               f"snap_{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, os.path.join(self.path, "snapshots", f"v{sid}.json"))
+            return sid
 
     # ------------------------------------------------------------------ #
     def read(self, spark: SparkSession) -> DataFrame | None:

@@ -204,6 +204,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "serial_validate", "history_keyset"]
     times = {}
     for name in names:
+        # distinct queries can share cached subplans (e.g. the LSH signature
+        # frame of dedup_minhash_lsh and dedup_components is plan-identical);
+        # clear so each timing stands alone
+        spark.catalog.clearCache()
         t0 = time.time()
         run_noop(q[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
@@ -224,10 +228,16 @@ def bench_extraction(spark, sf_dir: str, replicate: int,
     n_docs = docs.count()
     out = {"n_docs": n_docs}
     for mode in ("fused", "staged"):
+        # clearCache between runs: the pipeline persist()s shared subplans,
+        # and Spark's CacheManager matches structurally identical plans —
+        # without the clear, iteration 2+ of the SAME query reads cached
+        # blocks and measures cache bandwidth, not the pipeline
         if iters > 1:
+            spark.catalog.clearCache()
             run_noop(extract_docs(docs, mode=mode))  # warmup
         times = []
         for _ in range(iters):
+            spark.catalog.clearCache()
             t0 = time.time()
             run_noop(extract_docs(docs, mode=mode))
             times.append(time.time() - t0)
@@ -259,7 +269,7 @@ def child(master: str, extraction_only: bool) -> dict:
                SPARK_GRAFT_BENCH_EXTRACTION_ONLY=str(int(extraction_only)))
     # scaling children default to a larger corpus so fixed per-job costs
     # (planning, AQE, job scheduling) don't mask the scalable work
-    env.setdefault("SPARK_GRAFT_REPLICATE", "16")
+    env.setdefault("SPARK_GRAFT_REPLICATE", "32")
     p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                        capture_output=True, text=True, cwd=REPO)
     if p.returncode != 0:

@@ -1,0 +1,68 @@
+"""Operator-level dedup tests (the catalog oracle suite covers the
+end-to-end entries; these pin edge semantics directly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apple_ocr_backend_spark.operators import dedup as DD
+
+
+def _cc(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {(r["id"], r["component"])
+            for r in DD.connected_components(df, **kw).collect()}
+
+
+def test_components_two_clusters(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_components_long_chain_converges(spark):
+    """A 16-node path graph needs ~diameter rounds of min-label
+    propagation — the fixpoint check must carry it to completion."""
+    chain = [(i, i + 1) for i in range(15)]
+    got = _cc(spark, chain)
+    assert got == {(i, 0) for i in range(16)}
+
+
+def test_components_min_id_regardless_of_edge_order(spark):
+    """Keep id is the min id in the component even when edges point
+    'backwards' (the symmetric closure handles direction)."""
+    got = _cc(spark, [(7, 3), (9, 7), (3, 1)])
+    assert got == {(1, 1), (3, 1), (7, 1), (9, 1)}
+
+
+def test_jaccard_verify_bounded_by_candidates(spark):
+    """Only candidate pairs are scored — a high-similarity NON-candidate
+    pair must not appear in the output."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c d e f"),
+         (4, "x y z w v u")],
+        "doc_id long, text string")
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = DD.jaccard_verify(docs, cands, "doc_id", "text",
+                            shingle_n=3, threshold_q=500_000).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard_q"]) for r in got] \
+        == [(1, 2, 1_000_000)]  # (1,3)/(2,3) identical but not candidates
+
+
+def test_simhash64_identical_docs_hamming_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words entirely unrelated content here")],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in DD.simhash_near_dup_pairs(docs, "doc_id", "text",
+                                              hamming_max=3).collect()}
+    assert got.get((1, 2)) == 0
+    assert all(k == (1, 2) for k in got)  # doc 3 not within hamming 3
+
+
+def test_simhash64_words_are_16_bit(spark):
+    docs = spark.createDataFrame([(1, "some words here")],
+                                 "doc_id long, text string")
+    r = DD.simhash64(docs, "doc_id", "text").collect()[0]
+    for w in range(4):
+        assert 0 <= r[f"w{w}"] < 2 ** 16

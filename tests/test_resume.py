@@ -74,6 +74,22 @@ def test_staged_run_commits_per_pass_lineage(spark, tmp_path):
     assert _spans_map(res["table"].read(spark).toPandas()) == golden
 
 
+def test_concurrent_buckets_match_serial_golden(spark, tmp_path):
+    """concurrency=4: buckets processed by parallel threads, commits stay
+    atomic (icelite serializes the commit point), result identical."""
+    docs = make_corpus(40, seed=13)
+    golden = _spans_map(extract_docs_oracle(docs, CFG))
+    res = run_resumable(spark, _to_spark_docs(spark, docs),
+                        str(tmp_path / "t"), CFG, n_buckets=4, mode="fused",
+                        run_id="rc", concurrency=4)
+    assert sorted(res["processed"]) == [0, 1, 2, 3]
+    t = res["table"]
+    snaps = t.snapshots()
+    assert len(snaps) == 4  # consecutive chain: no commit was lost
+    assert {s["summary"]["bucket"] for s in snaps} == {0, 1, 2, 3}
+    assert _spans_map(t.read(spark).toPandas()) == golden
+
+
 def test_snapshot_chain_ignores_orphans(spark, tmp_path):
     """Data dirs written without a committed snapshot are invisible."""
     import os
