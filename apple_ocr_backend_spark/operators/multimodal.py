@@ -67,16 +67,40 @@ def media_signatures(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_signature_batches, schema=MEDIA_META_DDL)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling placeholder: the Spark-side contract is
-    (doc_id, media) -> exploded (doc_id, frame_idx, frame binary); decoding
-    is gated behind the codec singleton."""
+FRAME_DDL = "doc_id bigint, frame_idx int, n_frame_bytes bigint, frame_sig string"
+
+
+def _frame_batches(max_frames: int):
+    """Deterministic frame sampler: a media buffer of n bytes yields
+    ``min(max_frames, 1 + n // 64)`` frames — contiguous byte slices of
+    stride ``ceil(n / n_frames)`` — each reduced to (length, md5).  This is
+    the decode/frame-sample STAND-IN: the real kernel swaps the slicing for
+    a codec call with the identical 1->N Arrow batch contract (per-item C
+    hashing here plays the role of per-frame decode work)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if b.empty:
                 continue
-            # without a codec, emit frame 0 = raw bytes (deterministic fake)
-            yield pd.DataFrame({"doc_id": b["doc_id"],
-                                "frame_idx": 0,
-                                "frame": b["media"]})
-    return df.mapInPandas(fn, schema="doc_id bigint, frame_idx int, frame binary")
+            docs, idxs, lens, sigs = [], [], [], []
+            for doc, media in zip(b["doc_id"], b["media"]):
+                n = len(media)
+                nf = min(max_frames, 1 + n // 64)
+                stride = -(-n // nf)
+                for k in range(nf):
+                    chunk = media[k * stride:(k + 1) * stride]
+                    docs.append(doc)
+                    idxs.append(k)
+                    lens.append(len(chunk))
+                    sigs.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame({"doc_id": docs, "frame_idx": idxs,
+                                "n_frame_bytes": lens, "frame_sig": sigs})
+    return fn
+
+
+def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
+    """df(doc_id, media: binary) -> (doc_id, frame_idx, n_frame_bytes,
+    frame_sig): the video frame-sampling contract (1 row -> N frame rows
+    through one Arrow batch stage).  Deterministic, so the catalog oracle
+    replays it in SQL; a real deployment swaps the slicing stand-in for the
+    codec singleton's decode."""
+    return df.mapInPandas(_frame_batches(max_frames), schema=FRAME_DDL)

@@ -360,6 +360,31 @@ GROUP BY strftime(ts, '%Y-%m-%d')
 """)
 
 
+# --- X9 JSON encode of event payloads (app/utils/logging.py:77-85) as a
+# COLUMN op (F.to_json over a struct) — ints/strings only, so the compact
+# JSON text is byte-identical across engines
+def _q_events_json(spark, sf):
+    e = T(spark, sf, "events")
+    payload = F.struct(
+        F.col("event_id"), F.col("event_type"),
+        micros(F.col("value")).alias("value_q"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"))
+    return (e.filter(F.col("event_id") < 200)
+            .select("event_id", F.to_json(payload).alias("event_json"))
+            .orderBy("event_id"))
+
+
+_register("events_json", _q_events_json, """
+SELECT event_id,
+       to_json(struct_pack(
+         event_id := event_id,
+         event_type := event_type,
+         value_q := CAST(FLOOR(value*1000000) AS BIGINT),
+         ts_s := strftime(ts, '%Y-%m-%d %H:%M:%S'))) AS event_json
+FROM events WHERE event_id < 200
+""")
+
+
 # --- A5 export summary
 def _q_export_summary(spark, sf):
     o = T(spark, sf, "orders")
@@ -1058,6 +1083,38 @@ def _q_multimodal_signature(spark, sf):
 _register("multimodal_signature", _q_multimodal_signature, """
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS sig
 FROM documents
+""")
+
+
+def _q_multimodal_frames(spark, sf):
+    """Frame-sampling plumbing (video analog): 1 media row -> N frame rows
+    through one Arrow stage; the deterministic slicing stand-in makes the
+    whole contract oracle-checkable (documents.text is ASCII, so char and
+    byte offsets coincide between engines)."""
+    from ..operators.multimodal import sample_frames
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("media"))
+    return sample_frames(d, max_frames=4).orderBy("doc_id", "frame_idx")
+
+
+_register("multimodal_frames", _q_multimodal_frames, """
+WITH meta AS (
+  SELECT doc_id, text,
+         LEAST(4, 1 + CAST(FLOOR(length(text) / 64) AS INT)) AS nf
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, text, nf,
+         CAST(CEIL(length(text)::DOUBLE / nf) AS INT) AS stride,
+         unnest(range(0, nf)) AS frame_idx
+  FROM meta
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(length(substring(text, CAST(frame_idx * stride + 1 AS INT), stride))
+            AS BIGINT) AS n_frame_bytes,
+       md5(substring(text, CAST(frame_idx * stride + 1 AS INT), stride))
+         AS frame_sig
+FROM frames
 """)
 
 

@@ -74,23 +74,63 @@ def write_eval_report(rows: DataFrame, out_dir: str,
     return summary
 
 
-def generate_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> str:
-    """S6 Excel sink (3-sheet analog): data + summary sheets via pandas.
+def workbook_frames(df: DataFrame, value_col: str | None = None,
+                    group_col: str | None = None,
+                    filters: dict | None = None,
+                    max_rows: int = 100_000) -> dict:
+    """The reference's 3-sheet workbook CONTENT (app/services/export.py:
+    11-238: data sheet, summary sheet, export-info metadata sheet), computed
+    Spark-side and materialized as small pandas frames for presentation.
 
-    Presentation-only: Spark must have already filtered/aggregated (the
-    ``max_rows`` guard enforces that this never becomes a data path).
+    Separated from the styling/writer so the sheet semantics are testable
+    without openpyxl.  ``max_rows`` guards the driver materialization —
+    Spark must have already filtered/aggregated (this is presentation, not a
+    data path)."""
+    import pandas as pd
+    data = df.limit(max_rows).toPandas()
+    if value_col:
+        summary = summary_stats(df, value_col, group_col).toPandas()
+    else:
+        summary = df.agg(F.count("*").alias("n")).toPandas()
+    meta_rows = [("record_count", str(len(data))),
+                 ("columns", ", ".join(data.columns))]
+    for k, v in (filters or {}).items():
+        meta_rows.append((f"filter:{k}", str(v)))
+    metadata = pd.DataFrame(meta_rows, columns=["field", "value"])
+    return {"data": data, "summary": summary, "metadata": metadata}
+
+
+def generate_excel(df: DataFrame, path: str, max_rows: int = 100_000,
+                   value_col: str | None = None,
+                   group_col: str | None = None,
+                   filters: dict | None = None) -> str:
+    """S6 Excel sink: the reference's 3-sheet styled workbook (data, summary,
+    export-info metadata — ``app/services/export.py:11-238``) with bold
+    filled header rows and auto-sized columns.
+
     Requires ``openpyxl``; raises NotImplementedError when absent (this
-    container ships without it — the call sites and batch shape are real).
-    """
+    container ships without it — the sheet content builder above and the
+    call sites are real and tested)."""
     try:
-        import openpyxl  # noqa: F401
+        import openpyxl
+        from openpyxl.styles import Font, PatternFill
     except ImportError as e:
         raise NotImplementedError(
             "Excel export needs openpyxl, which this environment does not "
             "ship; install it and this function works unchanged") from e
-    pdf = df.limit(max_rows).toPandas()
     import pandas as pd
-    with pd.ExcelWriter(path, engine="openpyxl") as xl:
-        pdf.to_excel(xl, sheet_name="data", index=False)
-        pdf.describe(include="all").to_excel(xl, sheet_name="summary")
+    frames = workbook_frames(df, value_col, group_col, filters, max_rows)
+    with pd.ExcelWriter(path, engine="openpyxl") as xl:  # pragma: no cover
+        for sheet, pdf in frames.items():
+            pdf.to_excel(xl, sheet_name=sheet, index=False)
+            ws = xl.sheets[sheet]
+            fill = PatternFill("solid", start_color="D9E1F2")
+            for cell in ws[1]:
+                cell.font = Font(bold=True)
+                cell.fill = fill
+            for i, col in enumerate(pdf.columns):
+                width = max(len(str(col)),
+                            int(pdf[col].astype(str).str.len().max() or 0))
+                ws.column_dimensions[chr(ord("A") + i)].width = min(
+                    width + 2, 60)
     return path

@@ -113,3 +113,20 @@ def test_xlsx_source_to_spark_broadcast_side(spark, tmp_path):
                    [["C02Y95A8JG5H"], ["F5KVN0DKHJC5"]])
     df = to_spark(spark, load_serials(p))
     assert df.count() == 2 and df.columns == ["serial"]
+
+
+def test_workbook_frames_three_sheets(spark):
+    """The 3-sheet workbook content (data/summary/metadata) is computed
+    Spark-side and testable without openpyxl."""
+    from apple_ocr_backend_spark.sources.export import workbook_frames
+    df = spark.createDataFrame(
+        [(1, "ios", 0.9), (2, "mac", 0.7), (3, "ios", 0.8)],
+        "id long, source string, confidence double")
+    frames = workbook_frames(df, value_col="confidence", group_col="source",
+                             filters={"source": None, "date_from": "2024-01-01"})
+    assert set(frames) == {"data", "summary", "metadata"}
+    assert len(frames["data"]) == 3
+    assert set(frames["summary"]["source"]) == {"ios", "mac"}
+    meta = dict(zip(frames["metadata"]["field"], frames["metadata"]["value"]))
+    assert meta["record_count"] == "3"
+    assert meta["filter:date_from"] == "2024-01-01"
