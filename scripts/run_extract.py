@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--run-id", default="run")
     ap.add_argument("--derive-from-documents", action="store_true")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--concurrency", type=int, default=1,
+                    help="buckets processed in parallel threads (Spark "
+                         "schedules the concurrent jobs across executors)")
     args = ap.parse_args()
 
     # Imports deferred until after spark-submit has added --py-files to path.
@@ -50,7 +53,8 @@ def main() -> None:
         docs = spark.read.parquet(args.input)
 
     res = run_resumable(spark, docs, args.output, n_buckets=args.buckets,
-                        mode=args.mode, run_id=args.run_id)
+                        mode=args.mode, run_id=args.run_id,
+                        concurrency=args.concurrency)
     last = res["table"].last_snapshot()
     print(json.dumps({
         "processed_buckets": res["processed"],
