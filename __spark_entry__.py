@@ -4,9 +4,11 @@
 derived from the sf0.001 documents table -> ordered extracted spans).
 ``queries()``/``oracle_sql()`` expose the full operator catalog
 (apple_ocr_backend_spark.plans.catalog): every SURVEY.md §2 operator family
-plus the training-data ops (dedup, ANN search, text analysis, multimodal
-plumbing), each with a DuckDB oracle except the two end-to-end extraction
-entries (non-SQL-expressible; pinned by the pytest parity suite instead).
+plus the training-data ops (dedup incl. cluster resolution, ANN search
+incl. constructed IVF cells, text analysis, multimodal plumbing).  EVERY
+entry carries a DuckDB oracle — including the two end-to-end extraction
+entries, whose oracle (plans/extract_oracle.py) is generated from the same
+character maps the kernels use.
 """
 
 from __future__ import annotations

@@ -294,7 +294,7 @@ def ocr_branch_staged(rows: DataFrame, cfg: ExtractConfig,
     """Progressive OCR passes as staged anti-joins (the north-rule topology).
 
     ``on_stage(pass_idx, a1_df)`` is an optional checkpoint hook — the
-    resumable pipeline (plans.checkpoint) persists each pass's A1 output and
+    resumable pipeline (plans.checkpoint) records each pass's A1 output and
     feeds committed results back instead of recomputing.
     """
     img = (rows.filter(F.col("kind") == "image")
@@ -304,15 +304,16 @@ def ocr_branch_staged(rows: DataFrame, cfg: ExtractConfig,
            .withColumn("n_passes", F.least(F.size("passes"),
                                            F.lit(cfg.max_passes))))
     # Plan truncation between passes: each pass's A1 output (small: ranked
-    # candidates only) is persist()-ed so pass p+1's analyzed plan swaps the
-    # whole pass-p subtree for an InMemoryRelation — without this, Catalyst
-    # re-optimizes an exponentially deepening tree per pass (~7x wall-clock
-    # on the bench).  persist (lazy) rather than localCheckpoint (eager):
-    # the eager variant ran one barrier job per pass, serializing the DAG
-    # (round-1 verdict: 0.34 scaling efficiency 2->8, local[32] collapse);
-    # lazily cached subtrees keep everything in ONE job while still
-    # deduplicating the shared subplans.  On a cluster the durable
-    # equivalent is the icelite stage commit (plans.checkpoint).
+    # candidates only) is lazily persisted, so pass p+1's analyzed plan
+    # swaps the pass-p subtree for an InMemoryRelation (without truncation
+    # Catalyst re-optimizes an exponentially deepening tree per
+    # pass, ~7x wall-clock on the bench).  Lazy persist() (vs the round-1
+    # eager localCheckpoint) is what fixed scaling: the eager variant ran
+    # one barrier job per pass, serializing the DAG (round-1 verdict: 0.34
+    # scaling efficiency 2->8, local[32] collapse); lazily cached subtrees
+    # keep the whole chain in ONE job while deduplicating shared subplans.
+    # On a cluster the durable equivalent is the icelite stage commit
+    # (plans.checkpoint).
     img = img.persist()
     unresolved = img
     pass_outputs: list[DataFrame] = []

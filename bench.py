@@ -204,13 +204,22 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "serial_validate", "history_keyset"]
     times = {}
     for name in names:
-        # distinct queries can share cached subplans (e.g. the LSH signature
-        # frame of dedup_minhash_lsh and dedup_components is plan-identical);
-        # clear so each timing stands alone
-        spark.catalog.clearCache()
-        t0 = time.time()
-        run_noop(q[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        # two timed runs, report the min: the first execution of a query in
+        # a JVM pays whole-stage-codegen compilation and Python-worker forks
+        # (measured 5-8s one-offs on the heavier plans), which say nothing
+        # about the 100 TB regime where a stage runs for minutes.  The cache
+        # is cleared before each run — distinct queries can share cached
+        # subplans (e.g. the LSH signature frame of dedup_minhash_lsh and
+        # dedup_components is plan-identical) and lazily persisted subtrees
+        # would otherwise make run 2 measure cache reads.
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            run_noop(q[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     return times
 
 
@@ -336,6 +345,10 @@ def render_bench_md(r: dict) -> str:
         "median of 3 timed iterations (cold-run JIT/worker-fork/GC-adaptation",
         "effects are ~10x steady state here and do not scale with cores; at",
         "the 100 TB design point stages run for minutes and warmup is noise).",
+        "The Spark cache is CLEARED before every timed iteration: the",
+        "pipeline lazily persists shared subplans and Spark's CacheManager",
+        "matches structurally identical plans, so without the clear a repeat",
+        "iteration of the same query measures cache reads, not the pipeline.",
         "",
         "Raw iterations (sec):",
         "",
@@ -354,17 +367,20 @@ def render_bench_md(r: dict) -> str:
     ]
     lines += [
         "## Mode interpretation", "",
-        "`fused` is the flagship production path: one `mapInPandas` pass",
-        "dispatches all four kernels per Arrow batch and emits per-(doc,salt)",
-        "sorted partial span arrays, so the JVM does a single compact merge",
-        "shuffle — the shape whose scaling the north rule cares about.",
+        "`fused` is the flagship production path (and the resumable-run",
+        "default): one `mapInArrow` pass dispatches all four kernels per",
+        "Arrow batch and emits per-(doc,salt) sorted partial span arrays, so",
+        "the JVM does a single compact merge shuffle — the shape whose",
+        "scaling the north rule cares about.",
         "",
         "`staged` is the semantic-fidelity topology (the reference's",
-        "progressive early-stop as anti-joins, one barrier job per OCR pass",
-        "for resumable stage commits).  Its serialized per-pass barriers are",
-        "Amdahl overhead, and its local[32] tail coincided with measured",
-        "steal spikes; it pins reference semantics and powers checkpoint/",
-        "resume, it does not chase throughput.", "",
+        "progressive early-stop as anti-joins; per-pass subplans lazily",
+        "persisted so the whole chain runs as one job).  Its pass-to-pass",
+        "data dependency is inherent Amdahl overhead — each OCR pass's",
+        "anti-join consumes the previous pass's ranked output — and its",
+        "local[32] numbers coincide with measured steal spikes; it pins",
+        "reference semantics and per-pass lineage, it does not chase",
+        "throughput.", "",
     ]
     return chr(10).join(lines)
 
