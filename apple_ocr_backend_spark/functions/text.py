@@ -72,11 +72,18 @@ def char_shingles(text: Column, n: int = 8) -> Column:
         lambda i: F.substring(text, i, F.lit(n)))
 
 
-def fingerprint(text: Column, n: int = 8) -> Column:
+def fingerprint(text: Column, n: int = 8, max_chars: int = 4096) -> Column:
     """Document fingerprint: lexicographic-min md5 over n-char rolling
     shingles (a 1-permutation minhash / winnowing-lite signature).
-    md5 is the only hash shared bit-exactly with DuckDB."""
-    return F.array_min(F.transform(char_shingles(text, n), F.md5))
+    md5 is the only hash shared bit-exactly with DuckDB.
+
+    ``max_chars`` bounds the sweep to the document prefix: the per-char
+    shingle expansion is O(len) hashes/doc, which a multi-MB document would
+    turn into millions of md5s for one signature — the prefix keeps the cost
+    constant per doc while staying deterministic (same idiom as content-
+    defined sampling in large-corpus fingerprinting)."""
+    return F.array_min(
+        F.transform(char_shingles(F.substring(text, 1, max_chars), n), F.md5))
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

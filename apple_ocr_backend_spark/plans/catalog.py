@@ -583,10 +583,14 @@ def _q_fingerprint(spark, sf):
 
 
 _register("fingerprint", _q_fingerprint, """
+WITH bounded AS (
+  SELECT doc_id, substring(text, 1, 4096) AS t
+  FROM documents WHERE doc_id < 100
+)
 SELECT doc_id,
-       list_min([md5(substring(text, i, 8))
-                 FOR i IN range(1, GREATEST(length(text)-7, 1) + 1)]) AS fp
-FROM documents WHERE doc_id < 100
+       list_min([md5(substring(t, i, 8))
+                 FOR i IN range(1, GREATEST(length(t)-7, 1) + 1)]) AS fp
+FROM bounded
 """)
 
 

@@ -78,3 +78,17 @@ def test_entry_smoke(spark):
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_extract_oracle_corpus_assumptions(ddb):
+    """The flagship oracle's html/pdf closed forms assume documents.text
+    carries no markup or newlines (true of the driver's generator); if the
+    testdata ever changes shape, fail HERE with a clear message instead of
+    a hash mismatch."""
+    bad = ddb.execute(
+        r"SELECT COUNT(*) FROM documents "
+        r"WHERE regexp_matches(text, '[<>\n\r]')").fetchone()[0]
+    assert bad == 0, (
+        "documents.text now contains markup/newlines — the closed-form "
+        "extract oracle (plans/extract_oracle.py html/pdf sections) no "
+        "longer models the kernels for this corpus")

@@ -1,0 +1,178 @@
+"""Property-based tests (hypothesis) for the serial kernels — pure pandas,
+no Spark session.
+
+The highest-value property here is the A2 closed form: `merge_passes`
+computes ``min(1, max_j(c_j + 0.05 * boosts_j))`` in one vectorized pass,
+while the reference folds occurrences sequentially
+(``cur = max(cur, c) + 0.05`` on each repeat — ocr_adapter_improved.py:
+1310-1343).  The fold below is an INDEPENDENT transcription of the reference
+loop; hypothesis drives both through random occurrence patterns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from apple_ocr_backend_spark.functions import serials as K
+
+ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+serial12 = st.text(alphabet=ALPHABET, min_size=12, max_size=12)
+raw_text = st.text(alphabet=ALPHABET + " .-", min_size=0, max_size=30)
+
+
+# --------------------------------------------------------------------------- #
+# expansion
+# --------------------------------------------------------------------------- #
+
+@settings(max_examples=80, deadline=None)
+@given(serial12)
+def test_expand_contains_original_sorted_unique(s):
+    out = K.expand_ambiguous(pd.Series([s]), position_aware=True)
+    variants = list(out["variant"])
+    assert s in variants
+    assert variants == sorted(set(variants))
+    assert list(out["variant_rank"]) == list(range(len(variants)))
+    assert all(len(v) == 12 for v in variants)
+
+
+@settings(max_examples=80, deadline=None)
+@given(serial12)
+def test_expand_only_touches_ruled_positions(s):
+    """A variant may differ from the input only at positions where either
+    the general ambiguity map or a position rule applies to the input
+    char (or where a position rule maps the substituted digit back)."""
+    mutable = set()
+    for i, ch in enumerate(s):
+        if ch in K.AMBIGUOUS_MAP:
+            mutable.add(i)
+        if ch in K.POSITION_RULES and i in K.POSITION_RULES[ch]:
+            mutable.add(i)
+        rep = K.AMBIGUOUS_MAP.get(ch)
+        if rep and rep in K.POSITION_RULES and i in K.POSITION_RULES[rep]:
+            mutable.add(i)
+    for v in K.expand_ambiguous(pd.Series([s]))["variant"]:
+        diff = {i for i in range(12) if v[i] != s[i]}
+        assert diff <= mutable, (s, v, diff - mutable)
+
+
+# --------------------------------------------------------------------------- #
+# normalization: vectorized == per-char dict walk
+# --------------------------------------------------------------------------- #
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(serial12, min_size=1, max_size=8))
+def test_normalize_matches_per_char_model(strings):
+    got = list(K.normalize_ambiguous(pd.Series(strings), position_aware=True))
+    for s, g in zip(strings, got):
+        want = "".join(
+            K.POSITION_RULES.get(c, {}).get(i)
+            or K.AMBIGUOUS_MAP.get(c, c)
+            if not (c in K.POSITION_RULES and i in K.POSITION_RULES[c])
+            else K.POSITION_RULES[c][i]
+            for i, c in enumerate(s))
+        assert g == want, (s, g, want)
+
+
+# --------------------------------------------------------------------------- #
+# sliding windows
+# --------------------------------------------------------------------------- #
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(raw_text, min_size=1, max_size=6))
+def test_sliding_windows_model(strings):
+    out = K.sliding_windows(pd.Series(strings))
+    for idx, s in enumerate(strings):
+        rows = out[out["idx"] == idx]
+        expect = [s[i:i + 12] for i in range(max(len(s) - 11, 0))]
+        assert list(rows["window"]) == expect
+        assert list(rows["window_idx"]) == list(range(len(expect)))
+
+
+# --------------------------------------------------------------------------- #
+# validation: vectorized == straight-line transcription of validation.py
+# --------------------------------------------------------------------------- #
+
+def _valid_model(raw: str) -> bool:
+    up = raw.strip().upper()
+    if not raw:
+        return False
+    import re
+    if not re.fullmatch(r"[A-Z0-9]{12}", up):
+        return False
+    known = (up[:1] in K._KNOWN_1 or up[:2] in K._KNOWN_2
+             or up[:3] in K._KNOWN_3)
+    if not known:
+        errs = ((up[0] not in K.COMMON_FIRST_CHARS)
+                + (not up[0].isalpha())
+                + (not up[1].isdigit()))
+        if errs > 2:
+            return False
+    if sum(c in K.DISALLOWED_CHARS for c in up) > 3:
+        return False
+    if not any(c.isdigit() for c in up[-4:]):
+        return False
+    return True
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.one_of(serial12, raw_text), min_size=1, max_size=10))
+def test_validate_extended_matches_model(strings):
+    got = K.validate_extended(pd.Series(strings))["is_valid"]
+    for s, g in zip(strings, got):
+        assert bool(g) == _valid_model(s), s
+
+
+# --------------------------------------------------------------------------- #
+# A2 closed form == the reference's sequential fold
+# --------------------------------------------------------------------------- #
+
+def _a2_fold_model(rows: list[tuple[str, float]]) -> list[tuple[str, float]]:
+    """Reference loop (ocr_adapter_improved.py:1310-1343): iterate
+    occurrences in order; first sight records conf, repeats do
+    ``cur = max(cur, c) + 0.05``; cap at 1.0; final order by conf desc with
+    first-occurrence stability."""
+    merged: dict[str, float] = {}
+    order: list[str] = []
+    for serial, conf in rows:
+        if serial in merged:
+            merged[serial] = max(merged[serial], conf) + 0.05
+        else:
+            merged[serial] = conf
+            order.append(serial)
+    out = [(s, min(1.0, merged[s])) for s in order]
+    out.sort(key=lambda t: -t[1])  # python sort is stable
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["AAA", "BBB", "CCC", "DDD"]),
+              st.floats(min_value=0.05, max_value=1.0,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=12))
+def test_merge_passes_equals_sequential_fold(rows):
+    # The pipeline feeds A2 at most one occurrence per (serial, pass) and
+    # two passes, so each serial occurs <= 2 times — in that regime the
+    # closed form (c + 0.05*boosts in one multiply) is BIT-identical to the
+    # reference's sequential fold.  (At 3+ repeats the fold's repeated
+    # float additions drift by ulps from the single multiply; not a
+    # reachable shape here.)  Truncate the generated stream accordingly.
+    seen: dict[str, int] = {}
+    capped = []
+    for s, c in rows:
+        if seen.get(s, 0) < 2:
+            capped.append((s, c))
+            seen[s] = seen.get(s, 0) + 1
+    df = pd.DataFrame({
+        "g": 0,
+        "serial": [r[0] for r in capped],
+        "conf": [r[1] for r in capped],
+        "seq": range(len(capped)),
+    })
+    got = K.merge_passes(df, ["g"]).sort_values("rank")
+    want = _a2_fold_model(capped)
+    assert list(got["serial"]) == [s for s, _ in want]
+    assert list(got["conf"]) == [c for _, c in want]  # bit-exact
