@@ -27,6 +27,23 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish subword proxy: letter chunks capped at 4 chars, single digits,
+# single punctuation marks — a deterministic stand-in for a real BPE
+# tokenizer's piece count (the ratio ws_tokens/bpe_tokens is the usual
+# fertility signal for training-data budgeting).  Same regex semantics in
+# Spark (java.util.regex) and DuckDB (RE2): alternation is leftmost-first,
+# {1,4} is greedy.
+BPE_ISH_PATTERN = r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-piece count under the BPE-ish pattern.  (Spark's
+    regexp_extract_all extracts a capture group, so the whole pattern is
+    wrapped in one; DuckDB's returns full matches either way.)"""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(f"({BPE_ISH_PATTERN})"), 1))
+
+
 def stopword_ratio_q(text: Column, scale: int = 1_000_000) -> Column:
     """floor(stopword_tokens / tokens * scale) as bigint."""
     toks = tokens(text)

@@ -23,7 +23,7 @@ Scale notes (100 TB disposition):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from ..functions.text import word_shingles
 
@@ -209,6 +209,41 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def dedup_decisions(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 12, bands: int = 4,
+                    shingle_n: int = 3,
+                    threshold_q: int = 500_000) -> DataFrame:
+    """The END of a dedup pipeline: one keep/drop decision row per document
+    involved in any duplicate relation — ``(doc_id, keep_id, method)`` with
+    method ∈ {exact, near_dup}.
+
+    Composition: exact groups (md5 digest) claim their members first; the
+    remaining near-duplicates (LSH candidates verified by exact Jaccard,
+    collapsed via connected components) claim theirs.  A doc caught by both
+    gets the exact decision (deterministic priority).  Docs in no relation
+    are implicitly kept and emit no row — at corpus scale the decision
+    table is a small side output joined back as an anti-join filter.
+    """
+    digests = df.select(F.col(id_col).alias("id"),
+                        F.md5(F.col(text_col)).alias("digest"))
+    groups = (digests.groupBy("digest")
+              .agg(F.count("*").alias("n"), F.min("id").alias("keep_id"))
+              .filter(F.col("n") > 1))
+    exact = (digests.join(groups, "digest")
+             .select("id", "keep_id", F.lit("exact").alias("method")))
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands, shingle_n)
+    verified = jaccard_verify(df, cands, id_col, text_col, shingle_n,
+                              threshold_q)
+    near = (connected_components(verified)
+            .select("id", F.col("component").alias("keep_id"),
+                    F.lit("near_dup").alias("method")))
+    both = exact.unionByName(near)
+    w = W.partitionBy("id").orderBy(F.asc("method"))  # 'exact' < 'near_dup'
+    return (both.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("id").alias(id_col), "keep_id", "method"))
 
 
 # --------------------------------------------------------------------------- #

@@ -576,6 +576,37 @@ FROM feats
 """)
 
 
+def _q_token_stats_bpe(spark, sf):
+    """Whitespace vs BPE-ish subword token counts + fertility (pieces per
+    word, in micro units) — the token-budgeting signal a training-data
+    pipeline computes per document."""
+    d = T(spark, sf, "documents")
+    t = F.col("text")
+    n_ws = TX.token_count(t)
+    n_bpe = TX.bpe_token_count(t)
+    return (d.select("doc_id",
+                     n_ws.alias("n_ws"),
+                     n_bpe.alias("n_bpe"),
+                     F.floor(n_bpe / n_ws * 1_000_000).cast("long")
+                     .alias("fertility_q"))
+            .orderBy("doc_id"))
+
+
+_register("token_stats_bpe", _q_token_stats_bpe, r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+           AS n_ws,
+         len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))
+           AS n_bpe
+  FROM documents
+)
+SELECT doc_id, CAST(n_ws AS INTEGER) AS n_ws, CAST(n_bpe AS INTEGER) AS n_bpe,
+       CAST(FLOOR(n_bpe / n_ws * 1000000) AS BIGINT) AS fertility_q
+FROM toks
+""")
+
+
 def _q_fingerprint(spark, sf):
     d = T(spark, sf, "documents").filter(F.col("doc_id") < 100)
     return (d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
@@ -784,6 +815,58 @@ SELECT id AS doc_id, MIN(peer) AS component FROM reach GROUP BY id
 
 
 _register("dedup_components", _q_dedup_components, _components_sql())
+
+
+def _q_dedup_decisions(spark, sf):
+    """End of the dedup pipeline: one keep/drop decision per doc in any
+    duplicate relation — exact groups claim members first, verified
+    near-dup components claim the rest."""
+    corpus = _dup_corpus(spark, sf).filter((F.col("doc_id") % 100000) < 150)
+    return (DD.dedup_decisions(corpus, "doc_id", "text",
+                               k=12, bands=4, threshold_q=500_000)
+            .orderBy("doc_id"))
+
+
+def _decisions_sql() -> str:
+    verified = _lsh_verified_sql()
+    return f"""
+WITH RECURSIVE corpus AS ({_DUP_SQL}),
+bounded AS (SELECT * FROM corpus WHERE doc_id % 100000 < 150),
+digests AS (SELECT doc_id AS id, md5(text) AS digest FROM bounded),
+grp AS (
+  SELECT digest, COUNT(*) AS n, MIN(id) AS keep_id
+  FROM digests GROUP BY digest HAVING COUNT(*) > 1
+),
+exact AS (
+  SELECT d.id, g.keep_id, 'exact' AS method
+  FROM digests d JOIN grp g ON d.digest = g.digest
+),
+verified AS ({verified}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach AS (
+  SELECT id, id AS peer FROM nodes
+  UNION
+  SELECT r.id, e.dst AS peer FROM reach r JOIN sym e ON e.src = r.peer
+),
+near AS (
+  SELECT id, MIN(peer) AS keep_id, 'near_dup' AS method
+  FROM reach GROUP BY id
+),
+unioned AS (SELECT * FROM exact UNION ALL SELECT * FROM near),
+ranked AS (
+  SELECT id AS doc_id, keep_id, method,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY method ASC) AS rn
+  FROM unioned
+)
+SELECT doc_id, keep_id, method FROM ranked WHERE rn = 1
+"""
+
+
+_register("dedup_decisions", _q_dedup_decisions, _decisions_sql())
 
 
 def _q_dedup_simhash(spark, sf):
