@@ -98,12 +98,24 @@ class Table:
             return sid
 
     # ------------------------------------------------------------------ #
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(self, spark: SparkSession,
+             merge_schema: bool = False) -> DataFrame | None:
+        """Union of the committed snapshot chain's data dirs.
+
+        ``merge_schema=True`` is the legacy-row tolerance path (reference:
+        rows with <9 fields get defaults at read time,
+        ``app/routers/serials.py:249-263``): snapshots written before a
+        column existed surface it as NULL instead of failing the read —
+        the same imperative-migration tolerance Iceberg gives via schema
+        evolution."""
         dirs = [os.path.join(self.path, d)
                 for s in self.snapshots() for d in s["data_dirs"]]
         if not dirs:
             return None
-        return spark.read.parquet(*dirs)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", True)
+        return reader.parquet(*dirs)
 
     def committed_units(self, key: str = "unit") -> set:
         """Set of work-unit markers recorded in snapshot summaries (the

@@ -120,3 +120,45 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     (reference analog: per-serial dedupe, ``tesseract_adapter.py:177``)."""
     return (events.withWatermark("ts", watermark)
             .dropDuplicates(["event_id", "ts"]))
+
+
+CONFIRM_STATE_DDL = "n int, best double"
+CONFIRM_OUT_DDL = ("serial string, n_frames int, best_conf double, "
+                   "confirmed boolean")
+
+
+def confirm_serials_stateful(candidates: DataFrame, min_frames: int = 3,
+                             confirm_conf: float = 0.9) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-serial frame accumulation with early confirmation.
+
+    Re-expresses the reference client's scan-session logic
+    (``SerialScannerViewModel.swift:34-38,197-282``): candidate readings for
+    a serial accumulate across frames/micro-batches; the serial is CONFIRMED
+    as soon as a reading reaches ``confirm_conf`` (early stop) or it has
+    been seen in ``min_frames`` distinct readings, whichever comes first.
+    State per serial = (n readings so far, best confidence so far), carried
+    across micro-batches; each batch emits the serial's updated standing.
+
+    Input: streaming DataFrame ``(serial string, conf double)`` (extra
+    columns pass through the group key only).  Output (update semantics):
+    one row per (serial, batch with new readings).
+    """
+    def update(key, pdfs, state):
+        import pandas as pd
+        n, best = state.get if state.exists else (0, 0.0)
+        for b in pdfs:
+            if len(b):
+                n += int(len(b))
+                best = max(best, float(b["conf"].max()))
+        state.update((n, best))
+        yield pd.DataFrame({
+            "serial": [key[0]], "n_frames": [n], "best_conf": [best],
+            "confirmed": [bool(best >= confirm_conf or n >= min_frames)],
+        })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return (candidates.groupBy("serial").applyInPandasWithState(
+        update, outputStructType=CONFIRM_OUT_DDL,
+        stateStructType=CONFIRM_STATE_DDL, outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))

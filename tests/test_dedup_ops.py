@@ -66,3 +66,24 @@ def test_simhash64_words_are_16_bit(spark):
     r = DD.simhash64(docs, "doc_id", "text").collect()[0]
     for w in range(4):
         assert 0 <= r[f"w{w}"] < 2 ** 16
+
+
+def test_keyset_pagination_equals_offset_pagination(spark):
+    """The scale-safe keyset page (cursor predicate + top-N) returns exactly
+    the rows the offset window (history_page semantics) calls page 2 —
+    the two strategies are interchangeable, only their plans differ."""
+    from pyspark.sql import Window as W
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = W.orderBy(F.desc("ts"), F.asc("event_id"))
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    offset_page = [(r["event_id"],) for r in
+                   ranked.filter("rn > 10 and rn <= 30")
+                   .orderBy("rn").select("event_id").collect()]
+    cur = ranked.filter("rn = 10").select("ts", "event_id").collect()[0]
+    keyset_page = [(r["event_id"],) for r in
+                   e.filter((F.col("ts") < cur["ts"])
+                            | ((F.col("ts") == cur["ts"])
+                               & (F.col("event_id") > cur["event_id"])))
+                   .orderBy(F.desc("ts"), F.asc("event_id")).limit(20)
+                   .select("event_id").collect()]
+    assert keyset_page == offset_page

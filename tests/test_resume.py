@@ -102,3 +102,24 @@ def test_snapshot_chain_ignores_orphans(spark, tmp_path):
     got = t.read(spark)
     assert got.count() == 5
     assert t.committed_units() == {0}
+
+
+def test_schema_evolution_legacy_rows_tolerated(spark, tmp_path):
+    """J5 legacy-row tolerance at the table layer: snapshots committed
+    before a column existed read back with NULL defaults (reference analog:
+    rows with <9 fields get defaults, app/routers/serials.py:249-263)."""
+    from pyspark.sql import functions as F
+    from apple_ocr_backend_spark.sources.icelite import Table
+    t = Table(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "A")], "id long, serial string"),
+             summary={"unit": 0})
+    t.append(spark.createDataFrame([(2, "B", "ios")],
+                                   "id long, serial string, source string"),
+             summary={"unit": 1})
+    got = t.read(spark, merge_schema=True)
+    assert set(got.columns) == {"id", "serial", "source"}
+    rows = {r["id"]: r["source"] for r in got.collect()}
+    assert rows == {1: None, 2: "ios"}
+    # the coalesce/default-fill dispatch (SURVEY J5)
+    filled = got.withColumn("source", F.coalesce("source", F.lit("server")))
+    assert {r["source"] for r in filled.collect()} == {"server", "ios"}

@@ -152,3 +152,43 @@ def test_windowed_event_counts_stream_equals_batch(spark, tmp_path):
     got = {(str(r["w_start"]), r["event_type"]): (r["n"], r["sum_q"])
            for r in spark.sql("select * from winagg").collect()}
     assert got == batch
+
+
+def test_confirm_serials_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-serial state carries ACROSS micro-batches
+    (frame counts accumulate) with early confirmation at high confidence —
+    the reference client's scan-session semantics as a custom stateful
+    streaming operator."""
+    from apple_ocr_backend_spark.streaming.stream_extract import (
+        confirm_serials_stateful)
+    rows_a = [("C02Y95A8JG5H", 0.5), ("C02Y95A8JG5H", 0.6),
+              ("F5KVN0DKHJC5", 0.95), ("DGKFL96JDRVG", 0.4)]
+    rows_b = [("C02Y95A8JG5H", 0.55), ("DGKFL96JDRVG", 0.45)]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows_a, "serial string, conf double") \
+        .coalesce(1).write.parquet(os.path.join(in_dir, "a"))
+    spark.createDataFrame(rows_b, "serial string, conf double") \
+        .coalesce(1).write.parquet(os.path.join(in_dir, "b"))
+
+    stream = (spark.readStream.schema("serial string, conf double")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir + "/*"))
+    q = (confirm_serials_stateful(stream, min_frames=3, confirm_conf=0.9)
+         .writeStream.format("memory").queryName("confirm")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    out = spark.sql("select * from confirm").toPandas()
+    # last emitted row per serial = final standing after both batches
+    final = {r.serial: r for _, r in
+             out.groupby("serial", sort=False).tail(1).iterrows()}
+    # state carried across micro-batches: 2 + 1 readings accumulate
+    assert final["C02Y95A8JG5H"].n_frames == 3
+    assert final["C02Y95A8JG5H"].confirmed  # min_frames reached
+    # early confirmation by confidence, single reading
+    assert final["F5KVN0DKHJC5"].confirmed
+    assert final["F5KVN0DKHJC5"].best_conf == 0.95
+    # neither condition met: 2 frames, best 0.45
+    assert final["DGKFL96JDRVG"].n_frames == 2
+    assert not final["DGKFL96JDRVG"].confirmed
+    # update mode emitted one row per (serial, contributing batch)
+    assert len(out[out.serial == "C02Y95A8JG5H"]) == 2
