@@ -87,3 +87,28 @@ def test_keyset_pagination_equals_offset_pagination(spark):
                    .orderBy(F.desc("ts"), F.asc("event_id")).limit(20)
                    .select("event_id").collect()]
     assert keyset_page == offset_page
+
+
+def test_cobucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Tables bucketed+sorted on the join key plan an exchange-free
+    sort-merge join (the write-once-shuffle-never-again scale lever)."""
+    from apple_ocr_backend_spark.sources.bucketed import (
+        write_bucketed, cobucketed_join, count_exchanges)
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(o, "t_orders_b", "o_orderkey", 8)
+        write_bucketed(li, "t_lineitem_b", "l_orderkey", 8)
+        j = cobucketed_join(spark, "t_orders_b", "t_lineitem_b",
+                            "o_orderkey", "l_orderkey")
+        assert count_exchanges(j) == 0, "co-bucketed join still shuffles"
+        # same answer as the plain (shuffling) join
+        plain = o.join(li, o.o_orderkey == li.l_orderkey)
+        assert plain.count() == j.count() > 0
+        assert count_exchanges(plain) > 0  # the shuffle we eliminated
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
