@@ -67,6 +67,40 @@ def media_signatures(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_signature_batches, schema=MEDIA_META_DDL)
 
 
+RESIZE_DDL = ("doc_id bigint, n_bytes_in bigint, n_bytes_out bigint, "
+              "sig_out string")
+
+
+def _resize_batches(target_bytes: int):
+    """Deterministic resize stand-in: stride-decimate the buffer down to
+    ~``target_bytes`` (every ceil(n/target)-th byte), emit the output size +
+    digest.  The real kernel swaps the decimation for a codec resize
+    (INTER_AREA analog — the reference caps inputs the same way,
+    ``ocr_adapter_improved.py:647-655``) behind the identical batch shape."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            n_in, n_out, sigs = [], [], []
+            for media in b["media"]:
+                n = len(media)
+                stride = max(1, -(-n // target_bytes))
+                out = media[::stride]
+                n_in.append(n)
+                n_out.append(len(out))
+                sigs.append(hashlib.md5(out).hexdigest())
+            yield pd.DataFrame({"doc_id": b["doc_id"], "n_bytes_in": n_in,
+                                "n_bytes_out": n_out, "sig_out": sigs})
+    return fn
+
+
+def resize_media(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """df(doc_id, media: binary) -> (doc_id, n_bytes_in, n_bytes_out,
+    sig_out): the resize/downsample contract (O4 input-size cap analog),
+    deterministic so the catalog oracle replays it in SQL."""
+    return df.mapInPandas(_resize_batches(target_bytes), schema=RESIZE_DDL)
+
+
 FRAME_DDL = "doc_id bigint, frame_idx int, n_frame_bytes bigint, frame_sig string"
 
 

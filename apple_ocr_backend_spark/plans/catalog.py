@@ -1173,6 +1173,36 @@ FROM documents
 """)
 
 
+def _q_multimodal_resize(spark, sf):
+    """Resize/downsample plumbing (O4 input-size cap analog): stride
+    decimation to ~64 bytes with output digest, oracle-replayable because
+    documents.text is ASCII (char positions == byte positions)."""
+    from ..operators.multimodal import resize_media
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("media"))
+    return resize_media(d, target_bytes=64).orderBy("doc_id")
+
+
+_register("multimodal_resize", _q_multimodal_resize, """
+WITH meta AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST(CEIL(length(text)::DOUBLE / 64) AS INT)) AS stride
+  FROM documents
+),
+resized AS (
+  SELECT doc_id, text, stride,
+         array_to_string([substring(text, CAST(i AS INT), 1)
+                          FOR i IN range(1, length(text) + 1)
+                          IF (i - 1) % stride = 0], '') AS out
+  FROM meta
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes_in,
+       CAST(length(out) AS BIGINT) AS n_bytes_out,
+       md5(out) AS sig_out
+FROM resized
+""")
+
+
 def _q_multimodal_frames(spark, sf):
     """Frame-sampling plumbing (video analog): 1 media row -> N frame rows
     through one Arrow stage; the deterministic slicing stand-in makes the
