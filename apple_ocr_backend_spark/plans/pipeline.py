@@ -40,7 +40,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from pyspark.sql import DataFrame, functions as F, Window as W
 
 from ..config import ExtractConfig, DEFAULT_CONFIG
 from ..operators.skew import explode_salted, repartition_salted

@@ -11,7 +11,6 @@ from apple_ocr_backend_spark.operators.html_extract import extract_html
 from apple_ocr_backend_spark.operators.pdf_extract import extract_pdf
 from apple_ocr_backend_spark.operators.ocr_extract import (
     parse_tokens, pass_candidates, recover_ocr)
-from apple_ocr_backend_spark.operators.assemble import extract_text_spans
 from apple_ocr_backend_spark.sources.corpus import (
     make_corpus, extract_docs_oracle, gen_serial, corrupt_serial)
 from apple_ocr_backend_spark.functions import serials as K

@@ -11,7 +11,6 @@ loop; hypothesis drives both through random occurrence patterns.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from hypothesis import given, settings, strategies as st
 

@@ -4,7 +4,6 @@ grid cells evaluated as distributed jobs, accuracy discriminates configs."""
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import functions as F
 

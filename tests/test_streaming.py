@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
-
 from apple_ocr_backend_spark.config import ExtractConfig
 from apple_ocr_backend_spark.sources.corpus import make_corpus, extract_docs_oracle
 from apple_ocr_backend_spark.streaming.stream_extract import (
