@@ -47,6 +47,10 @@ def make_spark(master: str):
             .appName("bench")
             .config("spark.sql.shuffle.partitions", str(2 * cores))
             .config("spark.sql.adaptive.enabled", "true")
+            # compute-heavy per byte: the 64 MB advisory default coalesces
+            # payload shuffles into a handful of fat partitions and
+            # strangles reduce-side parallelism (see session.py)
+            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
             .config("spark.driver.memory",
