@@ -83,6 +83,7 @@ def _resize_batches(target_bytes: int):
                 continue
             n_in, n_out, sigs = [], [], []
             for media in b["media"]:
+                media = media or b""  # null buffer -> empty, not a crash
                 n = len(media)
                 stride = max(1, -(-n // target_bytes))
                 out = media[::stride]
@@ -117,6 +118,7 @@ def _frame_batches(max_frames: int):
                 continue
             docs, idxs, lens, sigs = [], [], [], []
             for doc, media in zip(b["doc_id"], b["media"]):
+                media = media or b""  # null buffer -> empty, not a crash
                 n = len(media)
                 nf = min(max_frames, 1 + n // 64)
                 stride = -(-n // nf)

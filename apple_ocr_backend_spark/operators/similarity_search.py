@@ -87,6 +87,10 @@ def kmeans_cells(emb: DataFrame, k: int = 8, sample_n: int = 256,
     samp = (emb.filter(F.col(id_col) < sample_n)
             .select(F.col(id_col).alias("id"), qv_expr().alias("qv"))
             .orderBy("id").collect())
+    if len(samp) < k:
+        raise ValueError(
+            f"k-means fit needs >= k={k} sample vectors with {id_col} < "
+            f"{sample_n}; got {len(samp)}")
     qs = np.array([r["qv"] for r in samp], dtype=np.int64)
     cent = qs[:k].copy()
     for _ in range(iters):
