@@ -19,6 +19,14 @@ Scale notes (100 TB disposition):
   at least one identical word), so candidates come from an equi-join.
 * embedding near-dup: IVF-style — pairs only within the same `label` cell
   (precomputed coarse cluster), quantized integer dot products.
+
+Caching contract: operators that reference a subplan multiple times
+(`lsh_candidate_pairs`, `jaccard_verify`, `simhash_near_dup_pairs`) lazily
+``persist()`` it so it computes once per query; the cached frames are NOT
+unpersisted here (laziness means materialization happens inside the
+caller's action).  Long-lived sessions issuing many dedup queries should
+``spark.catalog.clearCache()`` between workloads (bench.py does) or rely on
+the ContextCleaner GC'ing unreferenced plans.
 """
 
 from __future__ import annotations
@@ -197,6 +205,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     sym = sym.localCheckpoint()
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
+    converged = False
     for _ in range(max_iter):
         prop = (sym.join(labels, sym["src"] == labels["id"])
                 .select(F.col("dst").alias("id"), "label"))
@@ -207,7 +216,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                    .filter(F.col("label") != F.col("prev")).limit(1).count())
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent truncation would split real clusters (wrong keep-lists);
+        # a graph this deep needs more rounds or the large-star variant
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds the bound; raise max_iter or use "
+            "large-star/small-star contraction for chain-shaped graphs")
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
@@ -297,7 +314,13 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     """Near-duplicate pairs by 64-bit SimHash: banded candidate generation
     (equi-join on any agreeing 16-bit word) + exact Hamming verification
     (popcount of XOR).  Exact for ``hamming_max <= 3`` by pigeonhole over
-    4 bands.  Returns (id_a, id_b, hamming)."""
+    4 bands — larger thresholds are REJECTED rather than silently losing
+    recall (two signatures at distance 4 can differ in all four words and
+    would never become candidates).  Returns (id_a, id_b, hamming)."""
+    if hamming_max > 3:
+        raise ValueError(
+            f"hamming_max={hamming_max} exceeds the 4-band pigeonhole "
+            "guarantee (<= 3); add bands (narrower words) for wider radii")
     # referenced four times (both band sides + both verify sides): persist so
     # the signature computation (explode + 64-bit-sum groupBy) runs once
     sig = simhash64(df, id_col, text_col).persist()

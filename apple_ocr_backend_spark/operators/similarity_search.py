@@ -91,6 +91,13 @@ def kmeans_cells(emb: DataFrame, k: int = 8, sample_n: int = 256,
         raise ValueError(
             f"k-means fit needs >= k={k} sample vectors with {id_col} < "
             f"{sample_n}; got {len(samp)}")
+    if [r["id"] for r in samp[:k]] != list(range(k)):
+        # the DuckDB oracle initializes cent0 as `vec_id < k` labelled by
+        # vec_id; that equals this first-k-rows init ONLY when ids are
+        # contiguous from 0 — enforce the shared precondition loudly
+        raise ValueError(
+            f"k-means init requires ids 0..{k - 1} present (oracle contract);"
+            f" got {[r['id'] for r in samp[:k]]}")
     qs = np.array([r["qv"] for r in samp], dtype=np.int64)
     cent = qs[:k].copy()
     for _ in range(iters):

@@ -369,8 +369,12 @@ def _q_events_json(spark, sf):
         F.col("event_id"), F.col("event_type"),
         micros(F.col("value")).alias("value_q"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"))
+    # ignoreNullFields=false: Spark otherwise OMITS null keys while DuckDB
+    # emits "key": null — divergent the moment the table has a NULL
     return (e.filter(F.col("event_id") < 200)
-            .select("event_id", F.to_json(payload).alias("event_json"))
+            .select("event_id",
+                    F.to_json(payload, {"ignoreNullFields": "false"})
+                    .alias("event_json"))
             .orderBy("event_id"))
 
 

@@ -100,8 +100,10 @@ def run_resumable(spark: SparkSession, docs: DataFrame, table_dir: str,
                 for r in rows_)
             return a1
 
-        extracted = extract_docs(sub, cfg, mode=mode,
-                                 on_stage=on_stage if mode == "staged" else None)
+        extracted = extract_docs(
+            sub, cfg, mode=mode,
+            on_stage=on_stage if mode == "staged" else None
+        ).persist()  # lineage collect + table append = ONE execution
         # per-partition lineage + per-kind metrics in ONE pass over the output
         flat = extracted.select(
             "doc_id", F.spark_partition_id().alias("partition_id"),
@@ -132,8 +134,11 @@ def run_resumable(spark: SparkSession, docs: DataFrame, table_dir: str,
         }
         if stage_rows:
             summary["n_pass_stages"] = len({r["stage"] for r in stage_rows})
-        table.append(extracted, operation=f"extract/bucket={b}",
-                     summary=summary, lineage=lineage + stage_rows)
+        try:
+            table.append(extracted, operation=f"extract/bucket={b}",
+                         summary=summary, lineage=lineage + stage_rows)
+        finally:
+            extracted.unpersist()
         processed.append(b)
 
     try:

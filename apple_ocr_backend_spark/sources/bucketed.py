@@ -41,7 +41,8 @@ def cobucketed_join(spark: SparkSession, left_table: str, right_table: str,
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the executed plan — the
-    audit metric for co-location evidence."""
+    """Number of SHUFFLE Exchange operators in the executed plan — the
+    audit metric for co-location evidence.  BroadcastExchange is excluded:
+    it replicates a small side, it does not shuffle."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange")
+    return plan.count("Exchange") - plan.count("BroadcastExchange")

@@ -112,8 +112,9 @@ def generate_excel(df: DataFrame, path: str, max_rows: int = 100_000,
     container ships without it — the sheet content builder above and the
     call sites are real and tested)."""
     try:
-        import openpyxl
+        import openpyxl  # noqa: F401
         from openpyxl.styles import Font, PatternFill
+        from openpyxl.utils import get_column_letter
     except ImportError as e:
         raise NotImplementedError(
             "Excel export needs openpyxl, which this environment does not "
@@ -129,8 +130,10 @@ def generate_excel(df: DataFrame, path: str, max_rows: int = 100_000,
                 cell.font = Font(bold=True)
                 cell.fill = fill
             for i, col in enumerate(pdf.columns):
-                width = max(len(str(col)),
-                            int(pdf[col].astype(str).str.len().max() or 0))
-                ws.column_dimensions[chr(ord("A") + i)].width = min(
+                longest = pdf[col].astype(str).str.len().max()
+                if pd.isna(longest):  # empty sheet: max() is NaN (truthy!)
+                    longest = 0
+                width = max(len(str(col)), int(longest))
+                ws.column_dimensions[get_column_letter(i + 1)].width = min(
                     width + 2, 60)
     return path

@@ -16,8 +16,8 @@ unchanged; ``maxFilesPerTrigger`` bounds micro-batch size on a cluster.
 
 from __future__ import annotations
 
-import hashlib
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,6 +25,26 @@ from ..config import ExtractConfig, DEFAULT_CONFIG
 from ..plans.pipeline import extract_docs
 from ..sources.corpus import DOCS_DDL
 from ..sources.icelite import Table
+
+
+def _checkpoint_run_id(checkpoint_dir: str) -> str:
+    """Run id minted once per checkpoint LINEAGE: stored in a marker file
+    inside the checkpoint dir, so it survives restarts but dies with the
+    checkpoint (deleting the dir = asking for full reprocessing = new
+    ledger scope)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_icelite_run_id")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return f.read().strip()
+    run_id = uuid.uuid4().hex[:12]
+    tmp = marker + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(run_id)
+    os.rename(tmp, marker)
+    # re-read: another process may have won the rename race
+    with open(marker) as f:
+        return f.read().strip()
 
 
 def commit_epoch(table: Table, batch: DataFrame, epoch_id: int,
@@ -66,16 +86,18 @@ def stream_extract(spark: SparkSession, input_dir: str, table_dir: str,
     icelite table at ``table_dir``.  Returns the started query (AvailableNow:
     drains what exists, then stops).
 
-    ``run_id`` scopes the exactly-once ledger; it defaults to a fingerprint
-    of the checkpoint location, because that is exactly the scope within
-    which Structured Streaming epoch ids are meaningful (replays within one
-    checkpoint lineage dedupe; a fresh checkpoint reprocesses the source
-    from scratch by Spark's own contract, and its commits must not be
-    swallowed by a stale ledger)."""
+    ``run_id`` scopes the exactly-once ledger; it defaults to a random id
+    minted ONCE per checkpoint lineage and stored inside the checkpoint
+    directory itself, because that is exactly the scope within which
+    Structured Streaming epoch ids are meaningful: a restart from the same
+    checkpoint reuses the marker (replayed epochs dedupe), while a fresh OR
+    deleted-and-recreated checkpoint mints a new id, so the full reprocess
+    Spark then performs is committed instead of being swallowed by a stale
+    ledger (a bare path fingerprint would silently drop everything after
+    `rm -rf checkpoint` at the same path)."""
     table = Table(table_dir)
     if run_id is None:
-        run_id = hashlib.md5(
-            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+        run_id = _checkpoint_run_id(checkpoint_dir)
     reader = spark.readStream.schema(DOCS_DDL)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

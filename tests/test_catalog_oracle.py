@@ -92,3 +92,11 @@ def test_extract_oracle_corpus_assumptions(ddb):
         "documents.text now contains markup/newlines — the closed-form "
         "extract oracle (plans/extract_oracle.py html/pdf sections) no "
         "longer models the kernels for this corpus")
+    # the multimodal oracles compare md5 over Spark's UTF-8 BYTES against
+    # DuckDB CHARACTER substrings — identical only for ASCII text
+    non_ascii = ddb.execute(
+        r"SELECT COUNT(*) FROM documents "
+        r"WHERE regexp_matches(text, '[^\x20-\x7e]')").fetchone()[0]
+    assert non_ascii == 0, (
+        "documents.text now contains non-ASCII — byte and char offsets "
+        "desynchronize the multimodal_{signature,frames,resize} oracles")

@@ -190,3 +190,31 @@ def test_confirm_serials_stateful(spark, tmp_path):
     assert not final["DGKFL96JDRVG"].confirmed
     # update mode emitted one row per (serial, contributing batch)
     assert len(out[out.serial == "C02Y95A8JG5H"]) == 2
+
+
+def test_stream_recreated_checkpoint_same_path_not_swallowed(spark, tmp_path):
+    """Code-review finding: with run_id = a path fingerprint, deleting and
+    recreating the checkpoint at the SAME path (the standard way to force
+    reprocessing) replayed epoch ids already in the ledger and silently
+    committed nothing.  The per-lineage marker id must mint fresh."""
+    import shutil
+    from apple_ocr_backend_spark.sources.icelite import Table
+    docs = make_corpus(8, seed=21)
+    sdf = _to_spark_docs(spark, docs)
+    in_dir = str(tmp_path / "in")
+    sdf.write.parquet(in_dir)
+    ckpt = str(tmp_path / "ckpt")
+    tbl_dir = str(tmp_path / "tbl")
+
+    q = stream_extract(spark, in_dir, tbl_dir, ckpt, CFG)
+    q.awaitTermination(120)
+    t = Table(tbl_dir)
+    n1 = t.read(spark).count()
+    assert n1 == len(docs)
+
+    shutil.rmtree(ckpt)  # user forces full reprocessing
+    q2 = stream_extract(spark, in_dir, tbl_dir, ckpt, CFG)
+    q2.awaitTermination(120)
+    # the reprocess COMMITS (duplication is Spark's documented fresh-
+    # checkpoint semantics; silence was the bug)
+    assert t.read(spark).count() == 2 * n1
