@@ -580,6 +580,59 @@ FROM feats
 """)
 
 
+def _q_quality_filter(spark, sf):
+    """Training-data quality gate: per-doc keep/drop decision with the
+    failing reason (the companion of dedup_decisions on the quality axis) —
+    drop when not identified as English, too short, or low composite
+    quality; first failing check names the reason (reference analog: the
+    rejection reasons of app/routers/serials.py:135-153)."""
+    d = T(spark, sf, "documents")
+    t = F.col("text")
+    lang = TX.lang_id(t)
+    n_tok = TX.token_count(t)
+    q = TX.quality_score_q(t)
+    reason = (F.when(lang != "en", "lang")
+              .when(n_tok < 10, "too_short")
+              .when(q < 400_000, "low_quality")
+              .otherwise(None))
+    return (d.select("doc_id", lang.alias("lang"),
+                     n_tok.alias("n_tokens"), q.alias("quality_q"),
+                     reason.isNull().alias("keep"), reason.alias("reason"))
+            .orderBy("doc_id"))
+
+
+_register("quality_filter", _q_quality_filter, f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+), feats AS (
+  SELECT doc_id, text, len(tk) AS n_tokens,
+         len(list_filter(tk, t -> list_contains({_STOP_SQL}, t))) AS n_stop,
+         len(list_distinct(tk)) AS n_distinct
+  FROM toks
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN FLOOR(n_stop / n_tokens * 1000000) >= 50000
+              THEN 'en' ELSE 'unk' END AS lang,
+         CAST(n_tokens AS INTEGER) AS n_tokens,
+         CAST(FLOOR((LEAST(n_tokens/50.0, 1.0)*0.5 + (n_distinct/n_tokens)*0.3
+               + (length(regexp_replace(text,'[^A-Za-z]','','g'))
+                  / GREATEST(length(text),1))*0.2) * 1000000) AS BIGINT)
+           AS quality_q
+  FROM feats
+)
+SELECT doc_id, lang, n_tokens, quality_q,
+       (CASE WHEN lang != 'en' THEN 'lang'
+             WHEN n_tokens < 10 THEN 'too_short'
+             WHEN quality_q < 400000 THEN 'low_quality' END) IS NULL AS keep,
+       CASE WHEN lang != 'en' THEN 'lang'
+            WHEN n_tokens < 10 THEN 'too_short'
+            WHEN quality_q < 400000 THEN 'low_quality' END AS reason
+FROM scored
+""")
+
+
 def _q_token_stats_bpe(spark, sf):
     """Whitespace vs BPE-ish subword token counts + fertility (pieces per
     word, in micro units) — the token-budgeting signal a training-data
