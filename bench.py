@@ -202,10 +202,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from apple_ocr_backend_spark.plans.catalog import queries
     q = queries()
     names = ["pricing_summary", "top_customer_per_nation", "event_score_agg",
-             "stats_cube", "sliding_windows", "text_stats", "dedup_exact",
+             "stats_cube", "sliding_windows", "text_stats", "token_stats_bpe",
+             "quality_filter", "events_json", "dedup_exact",
              "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_components",
              "dedup_simhash", "ann_bruteforce", "ann_ivf", "ann_ivf_fitted",
-             "serial_validate", "history_keyset"]
+             "serial_validate", "history_keyset", "multimodal_frames"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in
