@@ -175,3 +175,60 @@ def test_merge_passes_equals_sequential_fold(rows):
     want = _a2_fold_model(capped)
     assert list(got["serial"]) == [s for s, _ in want]
     assert list(got["conf"]) == [c for _, c in want]  # bit-exact
+
+
+# --------------------------------------------------------------------------- #
+# confidence shaping / quality scoring: vectorized == scalar transcription
+# --------------------------------------------------------------------------- #
+
+def _shape_model(clean: str, conf: float) -> float:
+    """Scalar transcription of ocr_adapter_improved.py:758-777."""
+    c = conf
+    if len(clean) >= 10:
+        c = c * 1.1
+    elif len(clean) >= 8:
+        c = c * 1.05
+    if len(set(clean)) >= 8:
+        c = c * 1.05
+    if len(clean) < 6:
+        c = c * 0.8
+    return min(c, 1.0)
+
+
+def _quality_model(serial: str, conf: float) -> float:
+    """Scalar transcription of ocr_adapter_improved.py:784-807."""
+    import re
+    q = conf
+    if re.fullmatch(r"[A-Z0-9]{12}", serial):
+        q = q * 1.1
+    if any(ch in "IOSZ" for ch in serial):
+        q = q * 0.95
+    if len(set(serial)) >= 8:
+        q = q * 1.05
+    return min(q, 1.0)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(raw_text,
+                          st.floats(min_value=0.0, max_value=1.0,
+                                    allow_nan=False)),
+                min_size=1, max_size=8))
+def test_shape_confidence_matches_scalar_model(rows):
+    clean = pd.Series([r[0] for r in rows])
+    conf = pd.Series([r[1] for r in rows])
+    got = list(K.shape_confidence(clean, conf))
+    for (s, c), g in zip(rows, got):
+        assert g == _shape_model(s, c), (s, c)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(serial12,
+                          st.floats(min_value=0.0, max_value=1.0,
+                                    allow_nan=False)),
+                min_size=1, max_size=8))
+def test_quality_score_matches_scalar_model(rows):
+    serial = pd.Series([r[0] for r in rows])
+    conf = pd.Series([r[1] for r in rows])
+    got = list(K.quality_score(serial, conf))
+    for (s, c), g in zip(rows, got):
+        assert g == _quality_model(s, c), (s, c)
