@@ -177,55 +177,113 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame,
 # Dedup group resolution: candidate pairs -> connected components -> keep-list
 # --------------------------------------------------------------------------- #
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star contraction round (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", §3): for every node u with neighborhood N(u),
+    connect each STRICTLY LARGER neighbor v > u to m = min(N(u) ∪ {u}).
+    ``edges`` is canonical (lo < hi); output is canonical and distinct."""
+    sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")) \
+        .unionByName(edges.select(F.col("hi").alias("u"),
+                                  F.col("lo").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn")) \
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    return (sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star contraction round: group the canonical edges by their
+    LARGER endpoint hi; with S = smaller neighbors of hi and m = min(S),
+    connect every node of S ∪ {hi} except m itself to m.  Output canonical
+    (lo < hi holds because m is the strict minimum) and distinct."""
+    m = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    star = (edges.join(m, "hi")
+            .select("m", F.col("lo").alias("v"))
+            .unionByName(m.select("m", F.col("hi").alias("v"))))
+    return (star.filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .distinct())
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
     """Resolve duplicate pairs into clusters: (id, component) where
     ``component`` is the minimum doc id reachable through the pair graph —
     the cluster's keep id (reference analog: collapse candidates to one final
     deduped list, ``app/pipeline/tesseract_adapter.py:230-237``, at corpus
     scale).
 
-    Algorithm: iterative min-label propagation — each round every node takes
-    the min of its own label and its neighbors' labels (one join + one
-    map-side-combinable min-aggregation per round), converging in
-    O(component diameter) rounds, with an early-exit fixpoint check.
-    Iterative lineage is truncated each round (localCheckpoint; on a cluster
-    the durable equivalent is a per-round icelite commit).
+    Algorithm: alternating large-star / small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — each round is one
+    groupBy-min + one join per star op, and the edge set converges to a star
+    forest centered at each component's minimum id in O(log d) rounds for
+    diameter d (round-2 verdict #2 replaced the O(d) min-label fixpoint that
+    needed ``max_iter`` raised on chain-shaped graphs).  Per-round lineage is
+    truncated (localCheckpoint; on a cluster the durable equivalent is a
+    per-round icelite commit).
 
-    100 TB disposition: rounds are bounded by the diameter of the LARGEST
-    cluster, and near-dup clusters in web corpora are shallow (stars around
-    a template).  For adversarial long-chain graphs, the large-star/
-    small-star variant (Kiveris et al., "Connected Components in MapReduce")
-    drops rounds to O(log d) with the same join/agg primitives — this
-    implementation is the simple-and-correct fixpoint over the same shapes.
+    Convergence is detected WITHOUT an extra probe job: the same action that
+    materializes the round's checkpoint returns ``(edge_count,
+    bit_xor(xxhash64(lo, hi)))`` in one map-side-combinable aggregation, and two
+    consecutive rounds with identical stats trigger one exact set-equality
+    confirmation (left_anti over the two in-memory checkpoints) before the
+    loop exits — so a hash collision can never cause a silent early exit,
+    and the steady-state cost is one cheap agg per round instead of the
+    round-2 join + limit(1).count() probe job.
+
+    100 TB disposition: every primitive is an equi-join or a combinable min;
+    skewed star centers (one giant cluster) are AQE-splittable because the
+    heavy side of each join is the edge relation, not a collected
+    neighborhood.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.localCheckpoint()
-    labels = (sym.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id")))
+    edges0 = (pairs
+              .select(F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+                      F.greatest(F.col(id_a), F.col(id_b)).alias("hi"))
+              .filter(F.col("lo") != F.col("hi"))
+              .distinct())
+    edges = edges0.localCheckpoint()
+    prev_stats = None
     converged = False
     for _ in range(max_iter):
-        prop = (sym.join(labels, sym["src"] == labels["id"])
-                .select(F.col("dst").alias("id"), "label"))
-        new = (labels.unionByName(prop)
-               .groupBy("id").agg(F.min("label").alias("label"))
-               .localCheckpoint())
-        changed = (new.join(labels.withColumnRenamed("label", "prev"), "id")
-                   .filter(F.col("label") != F.col("prev")).limit(1).count())
-        labels = new
-        if changed == 0:
-            converged = True
-            break
+        new = _small_star(_large_star(edges)).localCheckpoint()
+        stats = tuple(new.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("lo", "hi")), F.lit(0))
+            .alias("chk")).first())
+        if stats == prev_stats:
+            # candidate fixpoint: confirm exactly over the two in-memory
+            # checkpoints (guards the astronomically unlikely xxhash64-sum
+            # collision) AND confirm the result is a disjoint star forest —
+            # correctness then needs only the star ops' connectivity-
+            # preservation invariant, not the composed-map fixpoint theorem
+            diff = new.join(edges, ["lo", "hi"], "left_anti").limit(1).count()
+            multi_center = (new.groupBy("hi")
+                            .agg(F.count(F.lit(1)).alias("n"))
+                            .filter(F.col("n") > 1).limit(1).count())
+            center_as_leaf = (new.select("lo")
+                              .join(new.select(F.col("hi").alias("lo")),
+                                    "lo", "left_semi").limit(1).count())
+            if diff == 0 and multi_center == 0 and center_as_leaf == 0:
+                edges = new
+                converged = True
+                break
+        prev_stats = stats
+        edges = new
     if not converged:
-        # silent truncation would split real clusters (wrong keep-lists);
-        # a graph this deep needs more rounds or the large-star variant
+        # silent truncation would split real clusters (wrong keep-lists)
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds — "
-            "component diameter exceeds the bound; raise max_iter or use "
-            "large-star/small-star contraction for chain-shaped graphs")
-    return labels.select(F.col("id"), F.col("label").alias("component"))
+            f"connected_components did not converge in {max_iter} "
+            "alternating star rounds — pathological graph; raise max_iter")
+    # fixpoint is a star forest: leaves point at their component min (hi ->
+    # lo), centers are their own component
+    leaves = edges.select(F.col("hi").alias("id"),
+                          F.col("lo").alias("component"))
+    centers = edges.select(F.col("lo").alias("id"),
+                           F.col("lo").alias("component")).distinct()
+    return leaves.unionByName(centers)
 
 
 def dedup_decisions(df: DataFrame, id_col: str = "doc_id",
@@ -290,12 +348,20 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
                       F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
                       .alias("tok"))
             .withColumn("h", F.md5(F.col("tok"))))
+    # pack 16 bits per hex-chunk ONCE per token row (round-2 verdict #4):
+    # four conv(substring) expressions projected as columns, so each of the
+    # 64 per-bit aggregates below is a trivial shift+mod on an already-
+    # computed int instead of its own substring+conv+floor tree (4x fewer
+    # string ops per token; bit values — and the DuckDB oracle — unchanged)
+    chunks = toks.select(
+        "id", *[F.conv(F.substring(F.col("h"), 1 + 4 * w, 4), 16, 10)
+                .cast("int").alias(f"v{w}") for w in range(4)])
     cols = []
     for j in range(64):
-        ch = F.substring(F.col("h"), 1 + j // 4, 1)
-        bit = F.floor(_hex_val(ch) / (2 ** (3 - j % 4))) % 2
+        # bit j lives in chunk j//16 at big-endian position j%16 (MSB first)
+        bit = F.floor(F.col(f"v{j // 16}") / (2 ** (15 - j % 16))) % 2
         cols.append(F.sum(bit * 2 - 1).alias(f"c{j}"))
-    sums = toks.groupBy("id").agg(*cols)
+    sums = chunks.groupBy("id").agg(*cols)
     words = []
     for w in range(4):
         word = None

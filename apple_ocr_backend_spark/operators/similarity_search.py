@@ -109,9 +109,16 @@ def kmeans_cells(emb: DataFrame, k: int = 8, sample_n: int = 256,
                 cent[c] = np.floor(
                     members.sum(axis=0).astype(np.float64) / len(members)
                 ).astype(np.int64)
+    # CSE the quantized vector (round-2 verdict #6): project `qv` ONCE as a
+    # real column and reference it from all k distance expressions — lambda
+    # expressions are opaque to Catalyst CSE, so inlining qv_expr() per
+    # centroid embedded k copies of the floor-quantize transform in the
+    # assignment projection (k x per-row work; PLANS.md carries the
+    # one-transform plan evidence)
+    qv = emb.withColumn("__qv", qv_expr())
     dists = [
         F.aggregate(
-            F.zip_with(qv_expr(),
+            F.zip_with(F.col("__qv"),
                        F.array(*[F.lit(int(x)) for x in cent[c]]),
                        lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"), lambda acc, v: acc + v)
@@ -119,7 +126,7 @@ def kmeans_cells(emb: DataFrame, k: int = 8, sample_n: int = 256,
     cell = F.array_min(F.array(*[
         F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
         for c in range(k)]))["c"]
-    return emb.withColumn("cell", cell)
+    return qv.withColumn("cell", cell).drop("__qv")
 
 
 def hyperplane_lsh_buckets(emb: DataFrame, n_planes: int = 8,

@@ -159,13 +159,25 @@ def _mono_partial_kernel(cfg_dict: dict):
     """Fused mode, phase-1 assembly folded into the kernel (mapInArrow).
 
     The input partitioning (doc_id, salt) already co-locates every row of a
-    (doc, salt) group in one partition, so the kernel can emit the sorted
-    partial span array per (doc_id, salt) directly — the JVM then needs only
+    (doc, salt) group in one partition, so the kernel can emit sorted
+    partial span arrays per (doc_id, salt) directly — the JVM then needs only
     ONE payload shuffle (groupBy doc_id, flatten+sort small arrays) instead
     of two groupBy passes over individual span rows.  Sort key
     (offset, span_pos, out_rank) is unique per doc (span_pos is the array
     position, out_rank dense within a span), so the pandas sort and the JVM
     array_sort agree with no tie-break ambiguity.
+
+    Streaming per Arrow batch (round-2 verdict #1): each input batch is
+    kerneled, group-sorted, and emitted as its own RecordBatch — the kernel
+    never buffers the whole partition in pandas, so per-task memory
+    high-water is ONE Arrow batch (plus its extracted rows), not the full
+    partition.  A (doc, salt) group that straddles a batch boundary emits
+    one partial array per batch; that is correct by construction because
+    ``reassemble_partials`` flattens ALL partials per doc_id and re-sorts by
+    the same unique (offset, span_pos, out_rank) prefix before assigning the
+    dense order — multiple partials per key merge into the identical final
+    sequence (pinned by
+    test_pipeline_parity.py::test_fused_kernel_streams_per_batch).
 
     The list<struct> output column is assembled with pyarrow directly from
     the already-vectorized numpy columns (StructArray + ListArray over group
@@ -177,36 +189,35 @@ def _mono_partial_kernel(cfg_dict: dict):
 
     def fn(batches):
         import pyarrow as pa
-        outs = list(mono(b.to_pandas() for b in batches))
-        if not outs:
-            return
-        d = pd.concat(outs, ignore_index=True)
-        if d.empty:
-            return
-        d = d.sort_values(["doc_id", "salt", "offset", "span_pos", "out_rank"],
-                          kind="stable", ignore_index=True)
-        doc = d["doc_id"].to_numpy()
-        salt = d["salt"].to_numpy()
-        n = len(d)
-        is_start = np.empty(n, dtype=bool)
-        is_start[0] = True
-        is_start[1:] = (doc[1:] != doc[:-1]) | (salt[1:] != salt[:-1])
-        starts = np.flatnonzero(is_start)
-        offsets = np.append(starts, n).astype(np.int32)
-        struct = pa.StructArray.from_arrays(
-            [pa.array(d["offset"].to_numpy(dtype=np.int32)),
-             pa.array(d["span_pos"].to_numpy(dtype=np.int32)),
-             pa.array(d["out_rank"].to_numpy(dtype=np.int32)),
-             pa.array(d["kind"], type=pa.string()),
-             pa.array(d["text"], type=pa.string()),
-             pa.array(d["media_ref"], type=pa.string())],
-            names=["offset", "span_pos", "out_rank", "kind", "text",
-                   "media_ref"])
-        partial = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                           struct)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(doc[starts], type=pa.string()), partial],
-            names=["doc_id", "partial"])
+        for batch in batches:
+            for d in mono(iter([batch.to_pandas()])):
+                if d.empty:
+                    continue
+                d = d.sort_values(
+                    ["doc_id", "salt", "offset", "span_pos", "out_rank"],
+                    kind="stable", ignore_index=True)
+                doc = d["doc_id"].to_numpy()
+                salt = d["salt"].to_numpy()
+                n = len(d)
+                is_start = np.empty(n, dtype=bool)
+                is_start[0] = True
+                is_start[1:] = (doc[1:] != doc[:-1]) | (salt[1:] != salt[:-1])
+                starts = np.flatnonzero(is_start)
+                offsets = np.append(starts, n).astype(np.int32)
+                struct = pa.StructArray.from_arrays(
+                    [pa.array(d["offset"].to_numpy(dtype=np.int32)),
+                     pa.array(d["span_pos"].to_numpy(dtype=np.int32)),
+                     pa.array(d["out_rank"].to_numpy(dtype=np.int32)),
+                     pa.array(d["kind"], type=pa.string()),
+                     pa.array(d["text"], type=pa.string()),
+                     pa.array(d["media_ref"], type=pa.string())],
+                    names=["offset", "span_pos", "out_rank", "kind", "text",
+                           "media_ref"])
+                partial = pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), struct)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(doc[starts], type=pa.string()), partial],
+                    names=["doc_id", "partial"])
     return fn
 
 

@@ -27,6 +27,25 @@ def test_components_long_chain_converges(spark):
     assert got == {(i, 0) for i in range(16)}
 
 
+def test_components_adversarial_chain_olog_rounds(spark):
+    """Round-2 verdict #2: a 120-node path (diameter 119) would exceed the
+    old min-label fixpoint's 30-round bound; large-star/small-star
+    contraction must resolve it within O(log d) rounds — max_iter=15 is
+    ~2x log2(119), far below the diameter."""
+    chain = [(i, i + 1) for i in range(119)]
+    got = _cc(spark, chain, max_iter=15)
+    assert got == {(i, 0) for i in range(120)}
+
+
+def test_components_reversed_and_shuffled_chain(spark):
+    """Star contraction is order- and direction-insensitive: the same chain
+    presented backwards with interleaved extra edges resolves identically."""
+    chain = [(i + 1, i) if i % 2 else (i, i + 1) for i in range(40)]
+    extra = [(0, 40), (5, 35)]  # shortcuts must not change the component
+    got = _cc(spark, [(b, a) for a, b in chain] + extra, max_iter=15)
+    assert got == {(i, 0) for i in range(41)}
+
+
 def test_components_min_id_regardless_of_edge_order(spark):
     """Keep id is the min id in the component even when edges point
     'backwards' (the symmetric closure handles direction)."""

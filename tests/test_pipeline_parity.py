@@ -67,6 +67,45 @@ def test_partitioning_invariance(spark, corpus):
     assert _spans_map(got) == _spans_map(golden)
 
 
+def test_fused_kernel_streams_per_batch(spark, corpus):
+    """Round-2 verdict #1: the fused mapInArrow kernel must stream one output
+    RecordBatch per input Arrow batch (no whole-partition pandas buffering),
+    and a (doc, salt) group straddling a batch boundary must still reassemble
+    into the identical final sequence (reassemble_partials merges multiple
+    partials per key by the unique (offset, span_pos, out_rank) sort)."""
+    import pyarrow as pa
+    from apple_ocr_backend_spark.plans.pipeline import _mono_partial_kernel
+
+    # direct kernel probe: ONE (doc, salt) group split across two input
+    # batches -> two emitted RecordBatches (streaming), two partial arrays
+    b = pd.DataFrame({
+        "doc_id": ["d"] * 4, "salt": [0] * 4, "span_pos": [0, 1, 2, 3],
+        "offset": [0, 1, 2, 3], "kind": ["text"] * 4,
+        "media_ref": pd.array([None] * 4, dtype="string"),
+        "text": ["alpha one", "beta two", "gamma three", "delta four"]})
+    batches = [
+        pa.RecordBatch.from_pandas(b.iloc[:2].reset_index(drop=True),
+                                   preserve_index=False),
+        pa.RecordBatch.from_pandas(b.iloc[2:].reset_index(drop=True),
+                                   preserve_index=False)]
+    out = list(_mono_partial_kernel(CFG.as_dict())(iter(batches)))
+    assert len(out) == 2, "kernel buffered batches instead of streaming"
+    # each batch emitted one partial array for the same (doc, salt)
+    assert [o.num_rows for o in out] == [1, 1]
+
+    # end-to-end: tiny Arrow batches force straddling everywhere; the fused
+    # result must still equal the oracle bit-for-bit
+    docs, golden = corpus
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        got = extract_docs(_to_spark_docs(spark, docs), CFG,
+                           mode="fused").toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert _spans_map(got) == _spans_map(golden)
+
+
 def test_giant_doc_salting(spark):
     """A giant doc splits across salts and still reassembles in exact order."""
     cfg = ExtractConfig(salt_span_budget=16)
