@@ -55,37 +55,51 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
             .select("q_id", "cell", "rank", "n_id", "cos_q"))
 
 
-def kmeans_cells(emb: DataFrame, k: int = 8, sample_n: int = 256,
-                 iters: int = 3, id_col: str = "vec_id",
-                 vec_col: str = "embedding",
-                 scale: int = 1_000_000) -> DataFrame:
-    """Deterministic IVF cell construction: integer-quantized k-means.
+def _qv_expr(vec_col: str, scale: int):
+    """Quantize a float vector column to integer units (floor(x * scale)) —
+    the shared representation for all deterministic distance math here and
+    in the DuckDB oracles (see dedup.cosine_q for the rationale)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale).cast("long"))
 
-    The fit is a tiny driver-side job — the first ``sample_n`` vectors by id
-    are collected (k x dim and sample x dim are both trivially small), the
-    centroids are refined for a FIXED ``iters`` rounds with pure integer /
-    floor arithmetic (init = first ``k`` vectors; assignment = min quantized
-    squared distance, ties to the lowest cell; update = floor(mean) per
-    dimension in quantized units; empty cells keep their previous centroid),
-    and the final centroids are broadcast into a distributed assignment
-    expression.  No RNG anywhere, so the DuckDB oracle replays the identical
-    fit in SQL (unrolled iterations) and lands on the same cells.
 
-    100 TB disposition: sample-collect + broadcast-assign is the standard
-    shape — the fit never touches the full corpus, and assignment is one
-    map-only pass (k quantized dot products per row, JVM-side).
+def _centroid_dists(cent, qv_col: str = "__qv"):
+    """One quantized squared-distance expression per fitted centroid,
+    referencing the ALREADY-PROJECTED quantized-vector column (round-2
+    verdict #6: lambda expressions are opaque to Catalyst CSE, so the
+    caller must project ``qv_col`` once instead of inlining the quantize
+    transform k times)."""
+    return [
+        F.aggregate(
+            F.zip_with(F.col(qv_col),
+                       F.array(*[F.lit(int(x)) for x in cent[c]]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+        for c in range(len(cent))]
 
-    Returns ``emb`` with an added integer ``cell`` column.
+
+def kmeans_fit(emb: DataFrame, k: int = 8, sample_n: int = 256,
+               iters: int = 3, id_col: str = "vec_id",
+               vec_col: str = "embedding", scale: int = 1_000_000):
+    """Deterministic integer-quantized k-means fit (driver-side sample job).
+
+    The first ``sample_n`` vectors by id are collected (k x dim and
+    sample x dim are both trivially small), then the centroids are refined
+    for a FIXED ``iters`` rounds with pure integer / floor arithmetic
+    (init = first ``k`` vectors; assignment = min quantized squared
+    distance, ties to the lowest cell; update = floor(mean) per dimension in
+    quantized units; empty cells keep their previous centroid).  No RNG
+    anywhere, so the DuckDB oracle replays the identical fit in SQL
+    (unrolled iterations) and lands on the same centroids.
+
+    Returns the fitted centroids as an int64 numpy array of shape (k, dim).
     """
     import numpy as np
 
-    def qv_expr():
-        return F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * scale).cast("long"))
-
     samp = (emb.filter(F.col(id_col) < sample_n)
-            .select(F.col(id_col).alias("id"), qv_expr().alias("qv"))
+            .select(F.col(id_col).alias("id"),
+                    _qv_expr(vec_col, scale).alias("qv"))
             .orderBy("id").collect())
     if len(samp) < k:
         raise ValueError(
@@ -109,24 +123,83 @@ def kmeans_cells(emb: DataFrame, k: int = 8, sample_n: int = 256,
                 cent[c] = np.floor(
                     members.sum(axis=0).astype(np.float64) / len(members)
                 ).astype(np.int64)
-    # CSE the quantized vector (round-2 verdict #6): project `qv` ONCE as a
-    # real column and reference it from all k distance expressions — lambda
-    # expressions are opaque to Catalyst CSE, so inlining qv_expr() per
-    # centroid embedded k copies of the floor-quantize transform in the
-    # assignment projection (k x per-row work; PLANS.md carries the
-    # one-transform plan evidence)
-    qv = emb.withColumn("__qv", qv_expr())
-    dists = [
-        F.aggregate(
-            F.zip_with(F.col("__qv"),
-                       F.array(*[F.lit(int(x)) for x in cent[c]]),
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, v: acc + v)
-        for c in range(k)]
+    return cent
+
+
+def assign_cells(emb: DataFrame, cent, vec_col: str = "embedding",
+                 scale: int = 1_000_000) -> DataFrame:
+    """Distributed IVF cell assignment against broadcast fitted centroids:
+    one map-only pass, k quantized distances per row, quantized vector
+    projected ONCE (CSE, round-2 verdict #6).  Returns ``emb`` with an added
+    integer ``cell`` column."""
+    k = len(cent)
+    qv = emb.withColumn("__qv", _qv_expr(vec_col, scale))
+    dists = _centroid_dists(cent)
     cell = F.array_min(F.array(*[
         F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
         for c in range(k)]))["c"]
     return qv.withColumn("cell", cell).drop("__qv")
+
+
+def kmeans_cells(emb: DataFrame, k: int = 8, sample_n: int = 256,
+                 iters: int = 3, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 scale: int = 1_000_000) -> DataFrame:
+    """IVF cell construction: deterministic k-means fit + broadcast assign.
+
+    100 TB disposition: sample-collect + broadcast-assign is the standard
+    shape — the fit never touches the full corpus, and assignment is one
+    map-only pass (k quantized distances per row, JVM-side).
+
+    Returns ``emb`` with an added integer ``cell`` column.
+    """
+    cent = kmeans_fit(emb, k, sample_n, iters, id_col, vec_col, scale)
+    return assign_cells(emb, cent, vec_col, scale)
+
+
+def ivf_topk_nprobe(emb_cells: DataFrame, cent, nprobe: int = 2,
+                    n_queries: int = 10, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    cell_col: str = "cell",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Multi-probe IVF top-k (round-2 verdict #4): each query scores
+    candidates in its ``nprobe`` NEAREST fitted cells, not just its own —
+    recovering the recall lost by near-boundary queries under nprobe=1.
+
+    Probe selection is the same deterministic quantized distance as the
+    assignment (ties to the lowest cell), computed only on the tiny query
+    side and expanded with one explode; candidates then join the broadcast
+    (query, probe_cell) relation on the cell id — each candidate belongs to
+    exactly one cell, so no pair is scored twice and no dedup pass is
+    needed.  The big side still never shuffles.
+
+    ``emb_cells`` must already carry ``cell_col`` from ``assign_cells`` with
+    the SAME ``cent``.
+    """
+    if not 1 <= nprobe <= len(cent):
+        raise ValueError(f"nprobe must be in [1, {len(cent)}]; got {nprobe}")
+    q0 = (emb_cells.filter(F.col(id_col) < n_queries)
+          .withColumn("__qv", _qv_expr(vec_col, scale)))
+    dists = _centroid_dists(cent)
+    # array_sort on (d, c) structs orders by distance then cell id — the
+    # exact ORDER BY d ASC, cell ASC tie-break the oracle replays
+    probes = F.slice(
+        F.array_sort(F.array(*[
+            F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
+            for c in range(len(cent))])), 1, nprobe)
+    q = (q0.select(F.col(id_col).alias("q_id"),
+                   F.col(vec_col).alias("q_vec"),
+                   F.explode(probes).alias("p"))
+         .select("q_id", "q_vec", F.col("p.c").alias(cell_col)))
+    c = emb_cells.select(F.col(id_col).alias("n_id"),
+                         F.col(vec_col).alias("n_vec"), cell_col)
+    scored = (c.join(F.broadcast(q), cell_col)
+              .filter(F.col("n_id") != F.col("q_id"))
+              .withColumn("cos_q", cosine_q(F.col("q_vec"), F.col("n_vec"))))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "n_id", "cos_q"))
 
 
 def hyperplane_lsh_buckets(emb: DataFrame, n_planes: int = 8,

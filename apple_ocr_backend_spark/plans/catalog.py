@@ -1144,6 +1144,48 @@ SELECT q_id, cell, rank, n_id, cos_q FROM ranked WHERE rank <= 5
 """)
 
 
+def _q_ann_ivf_nprobe(spark, sf):
+    """Multi-probe IVF (round-2 verdict #4): same fitted index as
+    ann_ivf_fitted, but each query scores candidates in its 2 nearest cells
+    — the standard recall lever for near-boundary queries."""
+    e = T(spark, sf, "embeddings")
+    cent = SS.kmeans_fit(e, k=8, sample_n=256, iters=3)
+    withcell = SS.assign_cells(e, cent)
+    return (SS.ivf_topk_nprobe(withcell, cent, nprobe=2, n_queries=10, k=5)
+            .orderBy("q_id", "rank"))
+
+
+def _kdist_sql(a: str, b: str, dim: int = 64) -> str:
+    """Quantized squared distance — the same expression _kmeans_ctes uses."""
+    return (f"CAST(list_sum([({a}[i]-{b}[i])*({a}[i]-{b}[i]) "
+            f"FOR i IN range(1,{dim + 1})]) AS BIGINT)")
+
+
+_register("ann_ivf_nprobe", _q_ann_ivf_nprobe, f"""
+WITH {_kmeans_ctes()},
+qprobe AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_kdist_sql('e.qv', 'c.qv')} ASC,
+                                       c.cell ASC) AS rn
+    FROM qemb e CROSS JOIN cent3 c WHERE e.vec_id < 10) WHERE rn <= 2
+),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         {_COS_SQL.format(a='q.q_vec', b='e.embedding')} AS cos_q
+  FROM assign e JOIN qprobe q ON e.cell = q.cell WHERE e.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos_q,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_q DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, rank, n_id, cos_q FROM ranked WHERE rank <= 5
+""")
+
+
 def _q_dedup_embedding_fitted(spark, sf):
     """Embedding near-dup with the coarse cells CONSTRUCTED by the
     deterministic k-means fit (not the precomputed label column) — the

@@ -6,8 +6,8 @@ happens driver-side, mirroring the reference's split where
 ``generate_excel`` styles rows that SQLite already filtered
 (``app/services/export.py:11-238``).  The eval-report shape matches
 ``app/services/eval.py:78-125,160-181``: one CSV row per document plus a
-JSON summary sidecar.  Excel needs ``openpyxl`` (not present in this
-container) and is gated behind an import-try.
+JSON summary sidecar.  Excel uses ``openpyxl`` when present and otherwise
+the vendored stdlib OOXML writer (``xlsx_lite.py``).
 """
 
 from __future__ import annotations
@@ -100,6 +100,21 @@ def workbook_frames(df: DataFrame, value_col: str | None = None,
     return {"data": data, "summary": summary, "metadata": metadata}
 
 
+def _frames_to_sheets(frames: dict) -> dict:
+    """pandas frames -> the (header, rows) shape xlsx_lite writes; NaN cells
+    become blanks, numpy scalars become plain Python values."""
+    sheets = {}
+    for name, pdf in frames.items():
+        rows = []
+        for rec in pdf.itertuples(index=False):
+            rows.append([None if v is None or
+                         (isinstance(v, float) and v != v)
+                         else (v.item() if hasattr(v, "item") else v)
+                         for v in rec])
+        sheets[name] = ([str(c) for c in pdf.columns], rows)
+    return sheets
+
+
 def generate_excel(df: DataFrame, path: str, max_rows: int = 100_000,
                    value_col: str | None = None,
                    group_col: str | None = None,
@@ -108,19 +123,18 @@ def generate_excel(df: DataFrame, path: str, max_rows: int = 100_000,
     export-info metadata — ``app/services/export.py:11-238``) with bold
     filled header rows and auto-sized columns.
 
-    Requires ``openpyxl``; raises NotImplementedError when absent (this
-    container ships without it — the sheet content builder above and the
-    call sites are real and tested)."""
+    Uses openpyxl when present; otherwise the vendored stdlib OOXML writer
+    (``sources/xlsx_lite.py``) emits the same 3 sheets, header style, and
+    column widths — so the sink runs everywhere."""
+    import pandas as pd
+    frames = workbook_frames(df, value_col, group_col, filters, max_rows)
     try:
         import openpyxl  # noqa: F401
         from openpyxl.styles import Font, PatternFill
         from openpyxl.utils import get_column_letter
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel export needs openpyxl, which this environment does not "
-            "ship; install it and this function works unchanged") from e
-    import pandas as pd
-    frames = workbook_frames(df, value_col, group_col, filters, max_rows)
+    except ImportError:
+        from .xlsx_lite import write_xlsx
+        return write_xlsx(path, _frames_to_sheets(frames))
     with pd.ExcelWriter(path, engine="openpyxl") as xl:  # pragma: no cover
         for sheet, pdf in frames.items():
             pdf.to_excel(xl, sheet_name=sheet, index=False)

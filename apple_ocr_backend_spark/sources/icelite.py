@@ -117,6 +117,64 @@ class Table:
             reader = reader.option("mergeSchema", True)
         return reader.parquet(*dirs)
 
+    def vacuum(self, min_age_sec: float = 3600.0,
+               now: float | None = None) -> dict:
+        """GC unreferenced files — the Iceberg expire-snapshots /
+        remove-orphan-files analog (round-2 verdict #10: without this,
+        killed appends leave ``_staging`` dirs and post-chain-break
+        snapshot files forever).
+
+        Removes, when older than ``min_age_sec`` (grace period so an
+        IN-FLIGHT append — data dir renamed but snapshot not yet committed —
+        is never collected; Iceberg's orphan-file GC has the same
+        older-than guard):
+
+        * leftover ``_staging`` entries (data writes or snapshot temps that
+          never reached their rename);
+        * ``data/`` dirs referenced by NO committed-chain snapshot;
+        * snapshot files beyond the chain break (e.g. a ``v5.json`` whose
+          ``v4`` never committed — unreachable forever since ids only grow).
+
+        Committed state is untouched: ``read()`` before == after.  Returns
+        ``{"staging": [...], "data": [...], "snapshots": [...]}`` of removed
+        names."""
+        import shutil
+        if now is None:
+            now = time.time()
+
+        def expired(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= min_age_sec
+            except OSError:
+                return False  # vanished concurrently — nothing to do
+
+        removed = {"staging": [], "data": [], "snapshots": []}
+        with self._commit_lock:
+            chain = self.snapshots()
+            referenced = {os.path.basename(d)
+                          for s in chain for d in s["data_dirs"]}
+            chain_len = len(chain)
+            staging = os.path.join(self.path, "_staging")
+            for name in os.listdir(staging):
+                p = os.path.join(staging, name)
+                if expired(p):
+                    (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+                    removed["staging"].append(name)
+            data_root = os.path.join(self.path, "data")
+            for name in os.listdir(data_root):
+                p = os.path.join(data_root, name)
+                if name not in referenced and expired(p):
+                    shutil.rmtree(p)
+                    removed["data"].append(name)
+            snap_dir = os.path.join(self.path, "snapshots")
+            for name in os.listdir(snap_dir):
+                m = _SNAP_RE.match(name)
+                p = os.path.join(snap_dir, name)
+                if m and int(m.group(1)) > chain_len and expired(p):
+                    os.remove(p)
+                    removed["snapshots"].append(name)
+        return removed
+
     def committed_units(self, key: str = "unit") -> set:
         """Set of work-unit markers recorded in snapshot summaries (the
         resume done-set)."""

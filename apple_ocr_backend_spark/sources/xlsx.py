@@ -11,9 +11,9 @@ spreadsheet whose header is messy (e.g. ``'Serial N0.'``), then keep the
    ``'serial'``;
 4. value rows: skip empties, ``strip().upper()``, keep ``len == 12`` only.
 
-The Excel engine (openpyxl) is absent in this environment, so the xlsx
-branch is import-gated; the CSV branch implements identical semantics over
-the same tabular shape and is what the unit tests pin.  Loaded serials
+The xlsx branch uses openpyxl when present and otherwise the vendored
+stdlib OOXML reader (``xlsx_lite.py``); the CSV branch implements identical
+semantics over the same tabular shape.  Loaded serials
 become a Spark DataFrame via ``to_spark`` (driver-side list — the reference
 analog is a small golden list, never bulk data)."""
 
@@ -53,14 +53,20 @@ def _filter_values(raw: list) -> list[str]:
 
 
 def load_serials_from_xlsx(path: str, column: str = "serial") -> list[str]:
-    """Excel branch — requires openpyxl (absent here; import-gated like the
-    reference's own guard, generate_image.py:57-58)."""
+    """Excel branch — openpyxl when present, else the vendored stdlib OOXML
+    reader (``xlsx_lite.read_xlsx``), with identical header-matching and
+    value semantics (reference guard: generate_image.py:57-58)."""
     try:
         import openpyxl
-    except ImportError as e:
-        raise NotImplementedError(
-            "openpyxl is not available in this environment; use "
-            "load_serials_from_csv for the same semantics") from e
+    except ImportError:
+        from .xlsx_lite import read_xlsx
+        sheets = read_xlsx(path)
+        if not sheets:
+            raise ValueError(f"workbook {path} has no sheets")
+        headers, rows = next(iter(sheets.values()))
+        idx = _pick_header(list(headers), column)
+        return _filter_values([r[idx] if idx < len(r) else None
+                               for r in rows])
     wb = openpyxl.load_workbook(path)
     ws = wb.active
     rows = ws.iter_rows(min_row=1)

@@ -206,7 +206,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "quality_filter", "events_json", "dedup_exact",
              "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_components",
              "dedup_simhash", "ann_bruteforce", "ann_ivf", "ann_ivf_fitted",
-             "serial_validate", "history_keyset", "multimodal_frames"]
+             "ann_ivf_nprobe", "serial_validate", "history_keyset",
+             "multimodal_frames"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in

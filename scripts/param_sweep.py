@@ -91,18 +91,28 @@ def sweep(spark: SparkSession, docs: DataFrame, golden: DataFrame,
                   key=lambda r: (-r["top1_acc_bp"], r["cell_id"]))
 
 
-def save_best_params(results: list[dict], path: str) -> dict:
-    """Param-cache write (app/services/param_cache.py:30-52 shape)."""
+_METRIC_KEYS = ("cell_id", "total", "detected", "top1_hits", "any_hits",
+                "top1_acc_bp", "any_acc_bp")
+
+
+def save_best_params(results: list[dict], path: str, preset: str = "sweep",
+                     now: float | None = None) -> dict:
+    """Param-cache write with full reference-parity metadata
+    (app/services/param_cache.py:30-52: preset/params/accuracy/timestamp/
+    date) plus this engine's integer extras (accuracy_bp, cell_id).
+    ``now`` is injectable for deterministic output; the payload also lands
+    at the explicit ``path`` for single-file callers."""
+    from apple_ocr_backend_spark.sources import param_cache as PC
     best = results[0]
-    payload = {"preset": "sweep", "params": {
-        k: v for k, v in best.items()
-        if k not in ("cell_id", "total", "detected", "top1_hits", "any_hits",
-                     "top1_acc_bp", "any_acc_bp")},
-        "accuracy_bp": best["top1_acc_bp"], "cell_id": best["cell_id"]}
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=2)
-    os.replace(tmp, path)
+    params = {k: v for k, v in best.items() if k not in _METRIC_KEYS}
+    cache_dir = os.path.dirname(os.path.abspath(path)) or "."
+    payload = PC.save_best_params(
+        cache_dir, preset, params,
+        accuracy=best["top1_acc_bp"] / 10_000, now=now,
+        extra={"accuracy_bp": best["top1_acc_bp"],
+               "cell_id": best["cell_id"]})
+    if os.path.abspath(path) != PC.cache_path(cache_dir, preset):
+        os.replace(PC.cache_path(cache_dir, preset), path)
     return payload
 
 

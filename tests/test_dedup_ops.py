@@ -87,6 +87,40 @@ def test_simhash64_words_are_16_bit(spark):
         assert 0 <= r[f"w{w}"] < 2 ** 16
 
 
+def test_ivf_nprobe_recall_not_below_nprobe1(spark):
+    """Round-2 verdict #4: probing the 2 nearest fitted cells must recover
+    at least the recall of nprobe=1 vs exact brute force — and every
+    neighbor nprobe=1 finds is also found at nprobe=2 (the query's own cell
+    is always its nearest probe)."""
+    from apple_ocr_backend_spark.operators import similarity_search as SS
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = SS.kmeans_fit(e, k=8, sample_n=256, iters=3)
+    withcell = SS.assign_cells(e, cent)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["q_id"], set()).add(r["n_id"])
+        return out
+
+    exact = topk_sets(SS.brute_force_topk(e, n_queries=10, k=5))
+    p1 = topk_sets(SS.ivf_topk_nprobe(withcell, cent, nprobe=1,
+                                      n_queries=10, k=5))
+    p2 = topk_sets(SS.ivf_topk_nprobe(withcell, cent, nprobe=2,
+                                      n_queries=10, k=5))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(exact[q]) for q in exact)
+        return hits / total
+
+    assert recall(p2) >= recall(p1)
+    # nprobe=1 equals the fitted single-cell search (same index, same math)
+    fitted = topk_sets(SS.ivf_topk(withcell, n_queries=10, k=5,
+                                   cell_col="cell"))
+    assert p1 == fitted
+
+
 def test_keyset_pagination_equals_offset_pagination(spark):
     """The scale-safe keyset page (cursor predicate + top-N) returns exactly
     the rows the offset window (history_page semantics) calls page 2 —

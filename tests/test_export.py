@@ -41,20 +41,54 @@ def test_write_eval_report(spark, tmp_path):
     assert back.count() == summary["total"]
 
 
-def test_generate_excel_gated(spark, tmp_path):
-    """openpyxl is absent here: the sink must fail loudly, not silently."""
-    df = spark.range(3).toDF("x")
-    try:
-        import openpyxl  # noqa: F401
-        has = True
-    except ImportError:
-        has = False
-    if has:  # pragma: no cover - not this container
-        path = generate_excel(df, str(tmp_path / "r.xlsx"))
-        assert os.path.exists(path)
-    else:
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            generate_excel(df, str(tmp_path / "r.xlsx"))
+def test_generate_excel_roundtrip(spark, tmp_path):
+    """S6 runs without openpyxl (vendored stdlib writer): 3 sheets, styled
+    header, values readable back byte-for-byte via the stdlib reader."""
+    from apple_ocr_backend_spark.sources.xlsx_lite import read_xlsx
+    df = spark.createDataFrame(
+        [(1, "ios", 0.9), (2, "mac", 0.7), (3, "ios", 0.8)],
+        "id long, source string, confidence double")
+    path = generate_excel(df, str(tmp_path / "r.xlsx"),
+                          value_col="confidence", group_col="source",
+                          filters={"date_from": "2024-01-01"})
+    assert os.path.exists(path)
+    sheets = read_xlsx(path)
+    assert list(sheets) == ["data", "summary", "metadata"]
+    header, rows = sheets["data"]
+    assert header == ["id", "source", "confidence"]
+    assert sorted(rows) == [[1, "ios", 0.9], [2, "mac", 0.7], [3, "ios", 0.8]]
+    sheader, srows = sheets["summary"]
+    assert sheader == ["source", "n", "min_v", "max_v", "avg_v"]
+    assert {r[0]: r[1] for r in srows} == {"ios": 2, "mac": 1}
+    mheader, mrows = sheets["metadata"]
+    meta = {r[0]: r[1] for r in mrows}
+    assert meta["record_count"] == "3"
+    assert meta["filter:date_from"] == "2024-01-01"
+
+
+def test_xlsx_lite_styled_header_and_widths(tmp_path):
+    """The workbook XML carries the bold+fill header style and custom column
+    widths (the styling parity with the openpyxl path)."""
+    import zipfile
+    from apple_ocr_backend_spark.sources.xlsx_lite import write_xlsx
+    p = write_xlsx(str(tmp_path / "s.xlsx"),
+                   {"data": (["a", "long_column"], [[1, "x" * 70]])})
+    with zipfile.ZipFile(p) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+        styles = z.read("xl/styles.xml").decode()
+    assert 's="1"' in sheet              # header row styled
+    assert 'width="60"' in sheet         # width clamped at 60
+    assert "<b/>" in styles and "FFD9E1F2" in styles
+
+
+def test_xlsx_lite_value_types_roundtrip(tmp_path):
+    from apple_ocr_backend_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+    rows = [[1, 2.5, True, None, "<&\"'>"], [-7, 0.0, False, "ok", ""]]
+    p = write_xlsx(str(tmp_path / "t.xlsx"), {"s": (["i", "f", "b", "o", "e"],
+                                                    rows)})
+    header, back = read_xlsx(p)["s"]
+    assert header == ["i", "f", "b", "o", "e"]
+    assert back == rows
 
 
 # ----------------------------- S10 xlsx source ----------------------------- #
@@ -96,15 +130,17 @@ def test_xlsx_source_missing_column_raises(tmp_path):
         load_serials(p, "gamma")
 
 
-def test_xlsx_source_engine_gated(tmp_path):
-    from apple_ocr_backend_spark.sources.xlsx import load_serials_from_xlsx
-    try:
-        import openpyxl  # noqa: F401
-        pytest.skip("openpyxl present")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        load_serials_from_xlsx(str(tmp_path / "f.xlsx"), "serial")
+def test_xlsx_source_reads_real_workbook(tmp_path):
+    """S10 end-to-end on an actual .xlsx file (stdlib writer + reader):
+    fuzzy header match and 12-char filtering behave exactly like the CSV
+    branch."""
+    from apple_ocr_backend_spark.sources.xlsx import load_serials
+    from apple_ocr_backend_spark.sources.xlsx_lite import write_xlsx
+    p = write_xlsx(str(tmp_path / "serials.xlsx"), {"Sheet1": (
+        ["id", "Serial N0.", "notes"],
+        [[1, "c02y95a8jg5h", "x"], [2, "  F5KVN0DKHJC5 ", "y"],
+         [3, "SHORT", "z"], [4, None, None]])})
+    assert load_serials(p, "serial no") == ["C02Y95A8JG5H", "F5KVN0DKHJC5"]
 
 
 def test_xlsx_source_to_spark_broadcast_side(spark, tmp_path):

@@ -50,3 +50,37 @@ def test_sweep_discriminates_and_caches_best(spark, tmp_path):
     assert saved == best
     assert saved["params"]["min_confidence"] == 0.30
     assert saved["accuracy_bp"] == results[0]["top1_acc_bp"]
+    # reference-parity metadata (app/services/param_cache.py:30-52)
+    assert saved["preset"] == "sweep"
+    assert saved["accuracy"] == results[0]["top1_acc_bp"] / 10_000
+    assert isinstance(saved["timestamp"], float)
+    assert len(saved["date"]) == 19  # YYYY-MM-DD HH:MM:SS
+
+
+def test_param_cache_roundtrip_fallback_and_listing(tmp_path):
+    """Preset cache semantics (app/services/param_cache.py:30-91): metadata
+    shape, deterministic injectable timestamp, missing/corrupt -> fallback
+    preset -> None, params-only accessor, preset listing."""
+    from apple_ocr_backend_spark.sources import param_cache as PC
+    d = str(tmp_path)
+    saved = PC.save_best_params(d, "etched", {"low_text": 0.3}, 0.85,
+                                now=1_700_000_000.0)
+    assert saved == {"preset": "etched", "params": {"low_text": 0.3},
+                     "accuracy": 0.85, "timestamp": 1_700_000_000.0,
+                     "date": saved["date"]}
+    assert PC.load_best_params(d, "etched") == saved
+    # fallback chain: missing preset falls through to the cached one
+    assert PC.load_best_params(d, "sticker", fallback="etched") == saved
+    assert PC.load_best_params(d, "sticker") is None
+    assert PC.get_best_params(d, "sticker", fallback="etched") \
+        == {"low_text": 0.3}
+    # corrupt file behaves like missing (reference returns None on decode
+    # errors) and still honors the fallback
+    with open(PC.cache_path(d, "sticker"), "w") as f:
+        f.write("{not json")
+    assert PC.load_best_params(d, "sticker") is None
+    assert PC.get_best_params(d, "sticker", fallback="etched") \
+        == {"low_text": 0.3}
+    listing = PC.list_cached_presets(d)
+    assert set(listing) == {"etched"}
+    assert listing["etched"]["accuracy"] == 0.85

@@ -104,6 +104,44 @@ def test_snapshot_chain_ignores_orphans(spark, tmp_path):
     assert t.committed_units() == {0}
 
 
+def test_vacuum_collects_orphans_keeps_committed(spark, tmp_path):
+    """Round-2 verdict #10: a kill mid-append leaves a staging dir, an
+    unreferenced data dir, and (after a chain break) unreachable snapshot
+    files — vacuum removes all three; committed reads are unchanged; the
+    min-age grace period protects in-flight appends."""
+    import json
+    import os
+    from apple_ocr_backend_spark.sources.icelite import Table
+    t = Table(str(tmp_path / "t"))
+    df = spark.range(5).toDF("x")
+    t.append(df, summary={"unit": 0})
+    t.append(spark.range(3).toDF("x"), summary={"unit": 1})
+    # kill scenarios: (a) write died in staging; (b) data dir renamed but
+    # snapshot never committed; (c) snapshot beyond a chain break (v4 while
+    # v3 is missing — unreachable forever)
+    df.write.mode("overwrite").parquet(
+        os.path.join(t.path, "_staging", "halfwrite"))
+    df.write.mode("overwrite").parquet(
+        os.path.join(t.path, "data", "orphan"))
+    with open(os.path.join(t.path, "snapshots", "v4.json"), "w") as f:
+        json.dump({"snapshot_id": 4, "parent_id": 3, "data_dirs": []}, f)
+
+    # grace period: nothing young enough is touched
+    assert t.vacuum(min_age_sec=3600) \
+        == {"staging": [], "data": [], "snapshots": []}
+    removed = t.vacuum(min_age_sec=0)
+    assert removed["staging"] == ["halfwrite"]
+    assert removed["data"] == ["orphan"]
+    assert removed["snapshots"] == ["v4.json"]
+    assert not os.path.exists(os.path.join(t.path, "data", "orphan"))
+    # committed chain reads exactly as before
+    assert t.read(spark).count() == 8
+    assert t.committed_units() == {0, 1}
+    # append still works after vacuum and ids continue from the chain tip
+    assert t.append(spark.range(2).toDF("x"), summary={"unit": 2}) == 3
+    assert t.read(spark).count() == 10
+
+
 def test_schema_evolution_legacy_rows_tolerated(spark, tmp_path):
     """J5 legacy-row tolerance at the table layer: snapshots committed
     before a column existed read back with NULL defaults (reference analog:
