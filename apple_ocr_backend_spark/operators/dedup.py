@@ -387,31 +387,35 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(
             f"hamming_max={hamming_max} exceeds the 4-band pigeonhole "
             "guarantee (<= 3); add bands (narrower words) for wider radii")
-    # referenced four times (both band sides + both verify sides): persist so
-    # the signature computation (explode + 64-bit-sum groupBy) runs once
+    # referenced twice (both sides of the band self-join): persist so the
+    # signature computation (explode + 64-bit-sum groupBy) runs once
     sig = simhash64(df, id_col, text_col).persist()
+    # carry the full signature THROUGH the banding explode (4 extra longs per
+    # band row) so Hamming verification reads both sides' words straight off
+    # the joined row — no re-join against the signature table.  The round-2
+    # shape joined sig twice more to fetch a/b words: two extra shuffles
+    # here, and at corpus scale two joins against the full signature
+    # relation; this one is band-self-join → verify → distinct.
     band_rows = sig.select(
-        "id", F.posexplode(F.array("w0", "w1", "w2", "w3"))
-        .alias("band", "word"))
+        "id", "w0", "w1", "w2", "w3",
+        F.posexplode(F.array("w0", "w1", "w2", "w3")).alias("band", "word"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.word") == F.col("b.word"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
-    sa = sig.select(F.col("id").alias("id_a"),
-                    *[F.col(f"w{w}").alias(f"a{w}") for w in range(4)])
-    sb = sig.select(F.col("id").alias("id_b"),
-                    *[F.col(f"w{w}").alias(f"b{w}") for w in range(4)])
     ham = None
     for w in range(4):
-        t = F.bit_count(F.col(f"a{w}").bitwiseXOR(F.col(f"b{w}")))
+        t = F.bit_count(F.col(f"a.w{w}").bitwiseXOR(F.col(f"b.w{w}")))
         ham = t if ham is None else ham + t
-    return (cand.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("hamming", ham.cast("int"))
+    # hamming is a pure function of the pair, so distinct-after-verify dedups
+    # multi-band candidates exactly like the round-2 distinct-before-join;
+    # verifying a duplicate candidate costs 4 xor+popcounts, far cheaper
+    # than the extra shuffle a pre-join distinct would take
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.word") == F.col("b.word"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= hamming_max)
-            .select("id_a", "id_b", "hamming"))
+            .distinct())
 
 
 # --------------------------------------------------------------------------- #
