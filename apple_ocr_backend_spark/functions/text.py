@@ -109,3 +109,62 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+# --------------------------------------------------------------------------- #
+# Repetition signals (Gopher-style quality rules) and PII masking
+# --------------------------------------------------------------------------- #
+
+def top_token_frac_q(text: Column, scale: int = 1_000_000) -> Column:
+    """Fraction of tokens taken by the single most frequent token —
+    the Gopher-style repetition signal (a page that is one token over and
+    over scores ~scale).  Computed with array higher-order functions:
+    per-doc cost is O(distinct x tokens) JVM comparisons, bounded by doc
+    length — no explode, no shuffle, no UDF."""
+    toks = tokens(text)
+    top = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda y: y == t))))
+    return F.floor(top / F.size(toks) * scale).cast("long")
+
+
+def bigrams(text: Column) -> Column:
+    """Array of adjacent token bigrams ("a b") — [] for 1-token docs."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+
+
+def top_bigram_frac_q(text: Column, scale: int = 1_000_000) -> Column:
+    """Fraction of bigram occurrences taken by the most frequent bigram
+    (catches two-token loops that the unigram signal dilutes)."""
+    bg = bigrams(text)
+    top = F.array_max(F.transform(
+        F.array_distinct(bg),
+        lambda t: F.size(F.filter(bg, lambda y: y == t))))
+    return F.floor(top / F.size(bg) * scale).cast("long")
+
+
+# PII patterns — kept inside the syntax subset where java.util.regex and
+# RE2 (DuckDB) agree: no backrefs, no lookaround, explicit classes.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def mask_pii(text: Column) -> Column:
+    """Replace email- and phone-shaped spans with fixed tags.  Emails are
+    masked first so a phone-like digit run inside an address cannot
+    double-fire.  Pure regexp_replace — streams through codegen, no UDF."""
+    no_mail = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_mail, PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text — the audit-side output a
+    redaction job reports per partition/day."""
+    n_mail = F.size(F.regexp_extract_all(text, F.lit(f"({EMAIL_PATTERN})"), 1))
+    no_mail = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    n_phone = F.size(
+        F.regexp_extract_all(no_mail, F.lit(f"({PHONE_PATTERN})"), 1))
+    return n_mail, n_phone

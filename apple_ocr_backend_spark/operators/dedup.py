@@ -459,3 +459,91 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .withColumn("cos_q", cosine_q(F.col("va"), F.col("vb")))
             .filter(F.col("cos_q") >= threshold_q)
             .select("cell", "id_a", "id_b", "cos_q"))
+
+
+# --------------------------------------------------------------------------- #
+# Incremental dedup: a new batch against an already-deduped corpus
+# --------------------------------------------------------------------------- #
+
+def dedup_incremental(new_docs: DataFrame, existing: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 12, bands: int = 4, shingle_n: int = 3,
+                      threshold_q: int = 500_000) -> DataFrame:
+    """Ingestion-time dedup: one decision row per NEW document against an
+    already-accepted corpus — ``(doc_id, keep_id, method)`` with method ∈
+    {exact_existing, exact_in_batch, near_dup_existing, new}.
+
+    This is the shape a continuously-fed 100 TB pipeline actually runs:
+    the full-corpus pairwise pass happens once, and every arriving batch
+    is checked ONLY against (a) itself and (b) the existing corpus —
+    never existing x existing again.  Costs:
+
+    * exact vs existing: digest equi-join (broadcast when the batch is
+      small, shuffle-join on digest otherwise);
+    * exact within batch: one groupBy on the batch's own digests;
+    * near-dup vs existing: MinHash band keys for BOTH sides, equi-join on
+      (band, key) RESTRICTED to cross pairs — at scale the existing side's
+      signatures/bands are read from a stored signature table (write them
+      at accept time; they are 28 bytes/doc), so the existing corpus is
+      never re-shingled per batch;
+    * verification: exact Jaccard on the cross candidates only, via the
+      same candidate-bounded ``jaccard_verify``.
+
+    Priority is deterministic: exact-vs-existing beats exact-in-batch
+    beats near-dup (alphabetical on the method string, same idiom as
+    ``dedup_decisions``); untouched docs emit ``new`` with keep_id = self.
+    """
+    # referenced three times (exact-vs-existing, in-batch groups, the
+    # 'new' fallback rows) — persist per the module caching contract
+    new_dig = new_docs.select(F.col(id_col).alias("id"),
+                              F.md5(F.col(text_col)).alias("digest")).persist()
+    ex_dig = (existing.select(F.col(id_col).alias("id"),
+                              F.md5(F.col(text_col)).alias("digest"))
+              .groupBy("digest").agg(F.min("id").alias("keep_id")))
+    exact_existing = (new_dig.join(ex_dig, "digest")
+                      .select("id", "keep_id",
+                              F.lit("exact_existing").alias("method")))
+    batch_grp = (new_dig.groupBy("digest")
+                 .agg(F.min("id").alias("keep_id"),
+                      F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") > 1))
+    exact_in_batch = (new_dig.join(batch_grp, "digest")
+                      .filter(F.col("id") != F.col("keep_id"))
+                      .select("id", "keep_id",
+                              F.lit("exact_in_batch").alias("method")))
+
+    def band_rows(df):
+        r = k // bands
+        sig = minhash_signature(df, id_col, text_col, k, shingle_n)
+        keys = F.array(*[
+            F.concat(*[F.col(f"s{b * r + j}") for j in range(r)])
+            for b in range(bands)])
+        return sig.select(F.col(id_col).alias("id"),
+                          F.posexplode(keys).alias("band", "bkey"))
+
+    # cross-side candidates only: existing id on the a side, new id on b
+    a = band_rows(existing).alias("a")
+    b = band_rows(new_docs).alias("b")
+    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkey") == F.col("b.bkey")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+    corpus = (existing.select(id_col, text_col)
+              .unionByName(new_docs.select(id_col, text_col)))
+    verified = jaccard_verify(corpus, cands, id_col, text_col,
+                              shingle_n, threshold_q)
+    # best existing match per new doc: max jaccard, tie -> lowest existing id
+    wbest = W.partitionBy("id_b").orderBy(F.desc("jaccard_q"), F.asc("id_a"))
+    near = (verified.withColumn("rn", F.row_number().over(wbest))
+            .filter(F.col("rn") == 1)
+            .select(F.col("id_b").alias("id"),
+                    F.col("id_a").alias("keep_id"),
+                    F.lit("near_dup_existing").alias("method")))
+    fresh = new_dig.select("id", F.col("id").alias("keep_id"),
+                           F.lit("new").alias("method"))
+    allm = (exact_existing.unionByName(exact_in_batch)
+            .unionByName(near).unionByName(fresh))
+    w = W.partitionBy("id").orderBy(F.asc("method"))
+    return (allm.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("id").alias(id_col), "keep_id", "method"))

@@ -151,10 +151,19 @@ def kmeans_cells(emb: DataFrame, k: int = 8, sample_n: int = 256,
     shape — the fit never touches the full corpus, and assignment is one
     map-only pass (k quantized distances per row, JVM-side).
 
-    Returns ``emb`` with an added integer ``cell`` column.
+    Returns ``emb`` with an added integer ``cell`` column, lazily
+    ``persist()``-ed: every consumer references the assigned frame at
+    least twice (query + candidate side of a cell join), and without the
+    cache boundary Catalyst both re-expands the assignment subtree per
+    reference AND pushes the join's inferred ``IsNotNull(cell)`` below
+    the projection — re-inlining all k centroid-distance expressions
+    (k quantize transforms) into a filter that never rejects a row.  The
+    cache materializes ``cell`` once per row; the join predicate then
+    reads the stored column.  (On a real cluster the equivalent is
+    writing the assignment once — the IVF index build.)
     """
     cent = kmeans_fit(emb, k, sample_n, iters, id_col, vec_col, scale)
-    return assign_cells(emb, cent, vec_col, scale)
+    return assign_cells(emb, cent, vec_col, scale).persist()
 
 
 def ivf_topk_nprobe(emb_cells: DataFrame, cent, nprobe: int = 2,

@@ -1,0 +1,153 @@
+"""Temporal operators over an event stream: as-of join and sessionization.
+
+Spark has no built-in as-of join (pandas ``merge_asof`` / kdb ``aj``
+semantics); the composition here expresses it with one union + one window —
+the "merge by key, carry the last observation forward" shape.  Cost model at
+100 TB: ONE shuffle of both inputs on the join key, then a linear in-partition
+sort-scan — the same cost as a sort-merge join, with no range-explosion
+(a naive ``a.ts >= b.ts`` range join is O(|A| x |B|) per key and is the
+shape to avoid).
+
+Sessionization is the classic gaps-and-islands window: flag gaps greater
+than the timeout, running-sum the flags into session ordinals.  One shuffle
+on the entity key; everything else is in-partition.
+
+Both operators use only JVM window expressions (no UDFs) and carry unique
+tie-break orderings so results are engine- and partition-order-independent
+(the DuckDB oracles replay the identical window semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
+              left_tie: str, right_tie: str,
+              payload: dict[str, str]) -> DataFrame:
+    """For every ``left`` row, attach the most recent ``right`` row with the
+    same ``on`` key and a strictly earlier ``(ts, tie)`` — backward as-of
+    join (pandas ``merge_asof`` semantics) with a deterministic tie-break.
+
+    ``payload`` maps output alias -> right column carried over.
+
+    Implementation: tag + union both sides, one window per key ordered by
+    ``(ts, tie, side)`` where left rows sort AFTER right rows at identical
+    sort keys, then ``last(payload_struct, ignorenulls)`` over the strictly
+    preceding frame.  Exactly one shuffle (the window partition); no range
+    join (a naive ``l.ts >= r.ts`` theta-join explodes per key), no per-key
+    collect.  Each side's tie column must be unique within key+ts so "most
+    recent" is a total order and the result is engine-independent.
+    """
+    r_payload = F.struct(
+        *[F.col(c).alias(a) for a, c in payload.items()])
+    l_payload = F.struct(*[F.col(c) for c in left.columns])
+    # derive each side's payload TYPE once so the other side can carry a
+    # properly typed NULL through the union (cast accepts a DataType)
+    r_type = right.select(r_payload.alias("x")).schema["x"].dataType
+    l_type = left.select(l_payload.alias("x")).schema["x"].dataType
+    lt = left.select(
+        F.col(on).alias("__on"), F.col(ts).alias("__ts"),
+        F.col(left_tie).cast("long").alias("__tie"),
+        F.lit(1).alias("__side"),
+        l_payload.alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"))
+    rt = right.select(
+        F.col(on).alias("__on"), F.col(ts).alias("__ts"),
+        F.col(right_tie).cast("long").alias("__tie"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_payload.alias("__r"))
+    both = lt.unionByName(rt)
+    w = (W.partitionBy("__on").orderBy("__ts", "__tie", "__side")
+         .rowsBetween(W.unboundedPreceding, -1))
+    carried = both.withColumn("__asof",
+                              F.last("__r", ignorenulls=True).over(w))
+    return (carried.filter(F.col("__side") == 1)
+            .select(F.col("__l.*"),
+                    *[F.col(f"__asof.{a}").alias(f"asof_{a}")
+                      for a in payload]))
+
+
+def asof_join_events(events: DataFrame, left_type: str, right_type: str,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     val_col: str = "value") -> DataFrame:
+    """As-of join specialized to one event table filtered two ways (the
+    common "attach the signup/feature snapshot active at purchase time"
+    query): for each ``left_type`` event, the most recent strictly-prior
+    ``right_type`` event of the same user.
+
+    Same plan shape as ``asof_join`` but built directly on the single
+    relation: ONE scan, one window shuffle.  Prior-ness is on the total
+    order ``(ts, event_id)`` — a right event at the identical timestamp
+    counts as prior only with a smaller event id, which both engines
+    replay deterministically.
+    """
+    e = events.select(
+        user_col, ts_col, id_col,
+        F.col("event_type"),
+        F.col(val_col),
+        F.when(F.col("event_type") == right_type,
+               F.struct(F.col(id_col).alias("r_id"),
+                        F.col(ts_col).alias("r_ts"),
+                        F.col(val_col).alias("r_value")))
+        .alias("__r"))
+    w = (W.partitionBy(user_col).orderBy(ts_col, id_col)
+         .rowsBetween(W.unboundedPreceding, -1))
+    carried = e.withColumn("__asof", F.last("__r", ignorenulls=True).over(w))
+    return (carried.filter(F.col("event_type") == left_type)
+            .select(F.col(id_col), F.col(user_col),
+                    F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss")
+                    .alias("ts_s"),
+                    F.floor(F.col(val_col) * 100).cast("long")
+                    .alias("value_cents"),
+                    # no-prior-match rows coalesce to -1 so the output
+                    # stays non-null numeric (cross-engine dtype stability)
+                    F.coalesce(F.col("__asof.r_id"), F.lit(-1))
+                    .cast("long").alias("asof_event_id"),
+                    F.date_format("__asof.r_ts",
+                                  "yyyy-MM-dd HH:mm:ss")
+                    .alias("asof_ts_s"),
+                    F.coalesce(F.floor(F.col("__asof.r_value") * 100),
+                               F.lit(-1))
+                    .cast("long").alias("asof_value_cents")))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id",
+               val_col: str = "value") -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the gap
+    from the user's previous event exceeds ``gap_minutes``.  Returns one row
+    per session: ordinal, bounds, event count, exact value total (cents
+    idiom).
+
+    Plan: one shuffle on the user key; ``lag`` + running ``sum`` + one
+    map-side-combinable groupBy — no UDFs, no iterative steps.  Session
+    state never materializes per-user lists, so a hot user costs one fat
+    sorted partition slice, not driver memory (and the window order carries
+    the event id tie-break for identical timestamps).
+    """
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    # parquet NTZ timestamps need the cast; gaps are differences, so the
+    # session-timezone offset the cast introduces cancels exactly
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000),
+                    1).otherwise(0)
+    sess = (events
+            .withColumn("__new", is_new)
+            .withColumn("session_ord",
+                        F.sum("__new").over(
+                            w.rowsBetween(W.unboundedPreceding, 0))))
+    return (sess.groupBy(user_col, "session_ord")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.date_format(F.min(ts_col),
+                               "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"),
+                 F.date_format(F.max(ts_col),
+                               "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_end"),
+                 F.sum(F.floor(F.col(val_col) * 100).cast("long"))
+                 .alias("value_cents")))

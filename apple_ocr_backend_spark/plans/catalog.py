@@ -1375,6 +1375,356 @@ _register("extract_pipeline_fused", _q_extract_fused, _extract_oracle())
 
 
 # =========================================================================== #
+# 8. Training-data pipeline extensions (round 3): deterministic sampling /    #
+#    splits, sequence packing, repetition quality, PII masking, incremental   #
+#    dedup, as-of join, sessionization.                                       #
+# =========================================================================== #
+
+def _q_sample_split(spark, sf):
+    """Deterministic train/val/test split + stratified per-language
+    downsampling over documents: the split/keep decision is a pure function
+    of (salt, doc_id) via an md5-hex string compare, so it is reproducible
+    across engines, re-runs, and corpus growth (no rand())."""
+    from ..operators.sampling import sample_stratified, split_assign
+    d = T(spark, sf, "documents").select("doc_id", "lang")
+    rates = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.5}
+    return (split_assign(
+        sample_stratified(d, rates, stratum_col="lang", default_rate=0.1),
+        train=0.9, val=0.05)
+        .select("doc_id", "lang", "split", "sampled")
+        .orderBy("doc_id"))
+
+
+def _sample_split_sql() -> str:
+    from ..operators.sampling import rate_to_hex
+    rate_rows = ", ".join(
+        f"('{k}', '{rate_to_hex(v)}')"
+        for k, v in sorted({"en": 0.9, "de": 0.5, "fr": 0.5,
+                            "es": 0.5}.items()))
+    return f"""
+WITH rates(lang, thresh) AS (VALUES {rate_rows}),
+based AS (
+  SELECT d.doc_id, d.lang,
+         substring(md5('rate' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS h_rate,
+         substring(md5('split' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS h_split,
+         COALESCE(r.thresh, '{rate_to_hex(0.1)}') AS thresh
+  FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+)
+SELECT doc_id, lang,
+       CASE WHEN h_split < '{rate_to_hex(0.9)}' THEN 'train'
+            WHEN h_split < '{rate_to_hex(0.95)}' THEN 'val'
+            ELSE 'test' END AS split,
+       h_rate < thresh AS sampled
+FROM based
+"""
+
+
+_register("sample_split", _q_sample_split, _sample_split_sql())
+
+
+def _q_pack_sequences(spark, sf):
+    """Concatenate-and-chunk sequence packing: fixed 512-token training
+    bins, 8 independent shards (one window shuffle; bins never cross
+    shards, so the packer parallelizes at any corpus size)."""
+    from ..operators.sampling import pack_sequences
+    d = T(spark, sf, "documents")
+    return (pack_sequences(d, budget_tokens=512, n_shards=8)
+            .orderBy("shard", "bin"))
+
+
+_register("pack_sequences", _q_pack_sequences, """
+WITH toks AS (
+  SELECT doc_id AS id, doc_id % 8 AS shard,
+         len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+           AS n_tok
+  FROM documents
+),
+binned AS (
+  SELECT id, shard, n_tok,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY shard ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 512.0) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT shard, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       MIN(id) AS first_id, MAX(id) AS last_id,
+       CAST(FLOOR(SUM(n_tok) / 512.0 * 1000000) AS BIGINT) AS fill_q
+FROM binned GROUP BY shard, bin
+""")
+
+
+def _q_quality_repetition(spark, sf):
+    """Gopher-style repetition signals: duplicate-token mass, the most
+    frequent token's share, and the most frequent bigram's share — all
+    array higher-order functions (per-doc JVM compute, no explode/shuffle;
+    the companion of quality_filter on the repetition axis)."""
+    d = T(spark, sf, "documents")
+    t = F.col("text")
+    toks = TX.tokens(t)
+    dup_q = F.floor((F.size(toks) - F.size(F.array_distinct(toks)))
+                    / F.size(toks) * 1_000_000).cast("long")
+    return (d.select("doc_id",
+                     dup_q.alias("dup_token_q"),
+                     TX.top_token_frac_q(t).alias("top_token_q"),
+                     TX.top_bigram_frac_q(t).alias("top_bigram_q"))
+            .orderBy("doc_id"))
+
+
+_register("quality_repetition", _q_quality_repetition, """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tk,
+         [tk[i] || CASE WHEN i + 1 <= len(tk) THEN ' ' || tk[i+1] ELSE '' END
+          FOR i IN range(1, GREATEST(len(tk) - 1, 1) + 1)] AS bgs
+  FROM toks
+)
+SELECT doc_id,
+       CAST(FLOOR((len(tk) - len(list_distinct(tk)))
+                  / len(tk) * 1000000) AS BIGINT) AS dup_token_q,
+       CAST(FLOOR(list_max(list_transform(list_distinct(tk),
+                    t -> len(list_filter(tk, y -> y = t))))
+                  / len(tk) * 1000000) AS BIGINT) AS top_token_q,
+       CAST(FLOOR(list_max(list_transform(list_distinct(bgs),
+                    t -> len(list_filter(bgs, y -> y = t))))
+                  / len(bgs) * 1000000) AS BIGINT) AS top_bigram_q
+FROM bg
+""")
+
+
+def _q_pii_mask(spark, sf):
+    """PII redaction over a corpus with deterministically injected
+    email/phone spans (the base table carries none): mask + per-doc audit
+    counts.  Pure regexp streaming through codegen — the patterns stay in
+    the java.util.regex ∩ RE2 subset so the oracle replays them exactly."""
+    d = T(spark, sf, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" call 555-123-4567")).otherwise(F.lit("")))
+    n_mail, n_phone = TX.pii_counts(text)
+    return (d.select("doc_id",
+                     n_mail.alias("n_emails"),
+                     n_phone.alias("n_phones"),
+                     F.md5(TX.mask_pii(text)).alias("masked_sig"))
+            .orderBy("doc_id"))
+
+
+# DuckDB string literals keep backslashes as-is — inject the patterns raw
+_PII_EMAIL = TX.EMAIL_PATTERN
+_PII_PHONE = TX.PHONE_PATTERN
+
+_register("pii_mask", _q_pii_mask, f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-123-4567' ELSE '' END AS text
+  FROM documents
+),
+masked AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS no_mail
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(no_mail, '{_PII_PHONE}')) AS INTEGER)
+         AS n_phones,
+       md5(regexp_replace(no_mail, '{_PII_PHONE}', '<PHONE>', 'g'))
+         AS masked_sig
+FROM masked
+""")
+
+
+def _q_dedup_incremental(spark, sf):
+    """Ingestion-time dedup: the batch of copies (+100000 exact, +200000
+    near-dup) checked against the accepted originals — exact digests plus
+    cross-side-only LSH candidates, never existing x existing."""
+    corpus = _dup_corpus(spark, sf).filter((F.col("doc_id") % 100000) < 150)
+    existing = corpus.filter(F.col("doc_id") < 100000)
+    newb = corpus.filter(F.col("doc_id") >= 100000)
+    return (DD.dedup_incremental(newb, existing, "doc_id", "text",
+                                 k=12, bands=4, threshold_q=500_000)
+            .orderBy("doc_id"))
+
+
+def _incremental_sql(k: int = 12, bands: int = 4) -> str:
+    r = k // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}' || shingle)) AS s{i}" for i in range(k))
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b, key=" || ".join(f"s{b * r + j}" for j in range(r)))
+        for b in range(bands))
+    return f"""
+WITH corpus AS ({_DUP_SQL}),
+bounded AS (SELECT * FROM corpus WHERE doc_id % 100000 < 150),
+new_dig AS (
+  SELECT doc_id AS id, md5(text) AS digest FROM bounded
+  WHERE doc_id >= 100000
+),
+ex_dig AS (
+  SELECT md5(text) AS digest, MIN(doc_id) AS keep_id FROM bounded
+  WHERE doc_id < 100000 GROUP BY md5(text)
+),
+exact_existing AS (
+  SELECT n.id, e.keep_id, 'exact_existing' AS method
+  FROM new_dig n JOIN ex_dig e USING (digest)
+),
+batch_grp AS (
+  SELECT digest, MIN(id) AS keep_id FROM new_dig
+  GROUP BY digest HAVING COUNT(*) > 1
+),
+exact_in_batch AS (
+  SELECT n.id, g.keep_id, 'exact_in_batch' AS method
+  FROM new_dig n JOIN batch_grp g USING (digest) WHERE n.id != g.keep_id
+),
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
+  FROM bounded
+),
+shingles AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 FOR i IN range(1, GREATEST(len(tk)-2, 1) + 1)]) AS shingle
+  FROM toks
+),
+sig AS (SELECT id, {sig_cols} FROM shingles GROUP BY id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.id < 100000 AND b.id >= 100000
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM shingles GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.id < 100000 AND b.id >= 100000
+  GROUP BY a.id, b.id
+),
+verified AS (
+  SELECT i.id_a, i.id_b,
+         CAST(FLOOR(i.i / (sa.sz + sb.sz - i.i) * 1000000) AS BIGINT)
+           AS jaccard_q
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+  WHERE FLOOR(i.i / (sa.sz + sb.sz - i.i) * 1000000) >= 500000
+    AND EXISTS (SELECT 1 FROM cand c
+                WHERE c.id_a = i.id_a AND c.id_b = i.id_b)
+),
+near AS (
+  SELECT id_b AS id, id_a AS keep_id, 'near_dup_existing' AS method
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY id_b ORDER BY jaccard_q DESC, id_a ASC) AS rn
+        FROM verified)
+  WHERE rn = 1
+),
+fresh AS (SELECT id, id AS keep_id, 'new' AS method FROM new_dig),
+unioned AS (
+  SELECT * FROM exact_existing UNION ALL SELECT * FROM exact_in_batch
+  UNION ALL SELECT * FROM near UNION ALL SELECT * FROM fresh
+),
+ranked AS (
+  SELECT id AS doc_id, keep_id, method,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY method ASC) AS rn
+  FROM unioned
+)
+SELECT doc_id, keep_id, method FROM ranked WHERE rn = 1
+"""
+
+
+_register("dedup_incremental", _q_dedup_incremental, _incremental_sql())
+
+
+def _q_events_asof(spark, sf):
+    """As-of join (no Spark built-in): for each purchase, the most recent
+    strictly-prior signup of the same user — one window shuffle, no range
+    join, deterministic (ts, event_id) ordering."""
+    from ..operators.temporal import asof_join_events
+    e = T(spark, sf, "events")
+    return (asof_join_events(e, "purchase", "signup")
+            .orderBy("event_id"))
+
+
+_register("events_asof", _q_events_asof, """
+WITH tagged AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         CASE WHEN event_type = 'signup' THEN
+           struct_pack(r_id := event_id, r_ts := ts, r_value := value)
+         END AS r
+  FROM events
+),
+carried AS (
+  SELECT *, LAST_VALUE(r IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_r
+  FROM tagged
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+       CAST(COALESCE(prev_r.r_id, -1) AS BIGINT) AS asof_event_id,
+       strftime(prev_r.r_ts, '%Y-%m-%d %H:%M:%S') AS asof_ts_s,
+       CAST(COALESCE(FLOOR(prev_r.r_value * 100), -1) AS BIGINT)
+         AS asof_value_cents
+FROM carried WHERE event_type = 'purchase'
+""")
+
+
+def _q_events_sessionize(spark, sf):
+    """Gaps-and-islands sessionization (30-minute timeout): one row per
+    session with bounds, event count, and exact value total."""
+    from ..operators.temporal import sessionize
+    e = T(spark, sf, "events")
+    return (sessionize(e, gap_minutes=30)
+            .orderBy("user_id", "session_ord"))
+
+
+_register("events_sessionize", _q_events_sessionize, """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END
+           AS is_new
+  FROM gaps
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_ord
+  FROM flagged
+)
+SELECT user_id, CAST(session_ord AS BIGINT) AS session_ord,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, session_ord
+""")
+
+
+# =========================================================================== #
 # public surface                                                              #
 # =========================================================================== #
 

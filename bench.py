@@ -242,7 +242,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_components",
              "dedup_simhash", "ann_bruteforce", "ann_ivf", "ann_ivf_fitted",
              "ann_ivf_nprobe", "serial_validate", "history_keyset",
-             "multimodal_frames"]
+             "multimodal_frames",
+             # round-3 training-pipeline entries
+             "sample_split", "pack_sequences", "quality_repetition",
+             "pii_mask", "dedup_incremental", "events_asof",
+             "events_sessionize"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in

@@ -1,0 +1,225 @@
+"""Round-3 training-pipeline operators: as-of join, sessionization,
+deterministic sampling/splits, sequence packing, repetition quality, PII
+masking, incremental dedup.  Each test pins semantics against a hand-checked
+or independently-computed (pandas) oracle on small synthetic data; the
+cross-engine value-hash parity runs in test_catalog_oracle.py.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row, functions as F
+
+from apple_ocr_backend_spark.operators.sampling import (
+    pack_sequences, rate_to_hex, sample_stratified, split_assign)
+from apple_ocr_backend_spark.operators.temporal import (
+    asof_join, asof_join_events, sessionize)
+from apple_ocr_backend_spark.operators.dedup import dedup_incremental
+from apple_ocr_backend_spark.functions.text import (
+    mask_pii, pii_counts, top_bigram_frac_q, top_token_frac_q)
+
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _t(minutes: float) -> dt.datetime:
+    return TS + dt.timedelta(minutes=minutes)
+
+
+# --------------------------------------------------------------------------- #
+# as-of join
+# --------------------------------------------------------------------------- #
+
+def test_asof_join_matches_merge_asof(spark):
+    left = [Row(k=1, ts=_t(m), lid=i) for i, m in enumerate([5, 10, 30])]
+    right = [Row(k=1, ts=_t(m), rid=100 + i, px=float(i))
+             for i, m in enumerate([1, 9, 30])]
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right),
+                     on="k", ts="ts", left_tie="lid", right_tie="rid",
+                     payload={"rid": "rid", "px": "px"})
+           .orderBy("lid").collect())
+    # lid0 @5 -> rid100 (@1); lid1 @10 -> rid101 (@9);
+    # lid2 @30 -> rid101: the @30 right row is NOT strictly earlier
+    assert [r.asof_rid for r in got] == [100, 101, 101]
+
+
+def test_asof_join_events_strict_priority_and_nulls(spark):
+    rows = [
+        Row(event_id=1, user_id=7, ts=_t(0), event_type="signup", value=1.0),
+        Row(event_id=2, user_id=7, ts=_t(5), event_type="purchase",
+            value=10.0),
+        # same timestamp as the signup below: smaller event_id wins as prior
+        Row(event_id=3, user_id=7, ts=_t(9), event_type="signup", value=2.0),
+        Row(event_id=4, user_id=7, ts=_t(9), event_type="purchase",
+            value=20.0),
+        # purchase with NO prior signup for this user
+        Row(event_id=5, user_id=8, ts=_t(1), event_type="purchase",
+            value=30.0),
+    ]
+    got = {r["event_id"]: r for r in
+           asof_join_events(spark.createDataFrame(rows),
+                            "purchase", "signup").collect()}
+    assert got[2]["asof_event_id"] == 1
+    assert got[4]["asof_event_id"] == 3       # equal-ts, smaller id is prior
+    assert got[5]["asof_event_id"] == -1      # coalesced no-match marker
+    assert got[5]["asof_ts_s"] is None
+    assert got[2]["value_cents"] == 1000
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        Row(event_id=1, user_id=1, ts=_t(0), event_type="view", value=1.0),
+        Row(event_id=2, user_id=1, ts=_t(30), event_type="view", value=1.0),
+        # exactly 30 min gap -> SAME session (strictly greater starts new)
+        Row(event_id=3, user_id=1, ts=_t(60.001), event_type="view",
+            value=1.0),
+        # > 30 min after event 2 -> new session
+        Row(event_id=4, user_id=2, ts=_t(0), event_type="view", value=2.5),
+    ]
+    got = (sessionize(spark.createDataFrame(rows), gap_minutes=30)
+           .orderBy("user_id", "session_ord").collect())
+    assert [(r.user_id, r.session_ord, r.n_events) for r in got] == [
+        (1, 1, 2), (1, 2, 1), (2, 1, 1)]
+    assert got[2].value_cents == 250
+
+
+# --------------------------------------------------------------------------- #
+# sampling / splits / packing
+# --------------------------------------------------------------------------- #
+
+def test_rate_to_hex_bounds():
+    assert rate_to_hex(0.0) == "00000000"
+    assert rate_to_hex(1.0) == "ffffffff"
+    assert rate_to_hex(0.5) == "80000000"
+
+
+def test_split_assign_deterministic_and_stable_under_growth(spark):
+    d1 = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    d2 = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in split_assign(d1).collect()}
+    s2 = {r.doc_id: r.split for r in split_assign(d2).collect()}
+    # append-stability: growing the corpus never reassigns an existing doc
+    assert all(s2[k] == v for k, v in s1.items())
+    # rough proportions at n=1000
+    frac_train = sum(v == "train" for v in s2.values()) / len(s2)
+    assert 0.85 < frac_train < 0.95
+
+
+def test_sample_stratified_rates_and_default(spark):
+    d = (spark.range(0, 2000)
+         .select(F.col("id").alias("doc_id"),
+                 F.when(F.col("id") % 2 == 0, "en").otherwise("xx")
+                 .alias("lang")))
+    got = sample_stratified(d, {"en": 1.0}, default_rate=0.0).collect()
+    en = [r for r in got if r.lang == "en"]
+    xx = [r for r in got if r.lang == "xx"]
+    assert all(r.sampled for r in en)      # rate 1.0 keeps everything
+    assert not any(r.sampled for r in xx)  # default 0.0 drops everything
+
+
+def test_pack_sequences_matches_pandas_replay(spark):
+    pdf = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [" ".join(["w"] * (3 + i % 7)) for i in range(40)],
+    })
+    got = (pack_sequences(spark.createDataFrame(pdf), budget_tokens=16,
+                          n_shards=4)
+           .orderBy("shard", "bin").toPandas())
+    # pandas replay of concatenate-and-chunk
+    pdf["shard"] = pdf.doc_id % 4
+    pdf["n_tok"] = pdf.text.str.split().str.len()
+    rows = []
+    for shard, g in pdf.sort_values("doc_id").groupby("shard"):
+        cum = 0
+        for _, r in g.iterrows():
+            rows.append((shard, cum // 16, r.doc_id, r.n_tok))
+            cum += r.n_tok
+    want = (pd.DataFrame(rows, columns=["shard", "bin", "doc_id", "n_tok"])
+            .groupby(["shard", "bin"])
+            .agg(n_docs=("doc_id", "size"), tokens=("n_tok", "sum"),
+                 first_id=("doc_id", "min"), last_id=("doc_id", "max"))
+            .reset_index())
+    assert len(got) == len(want)
+    for c in ["shard", "bin", "n_docs", "tokens", "first_id", "last_id"]:
+        assert list(got[c]) == list(want[c]), c
+    # every bin except possibly each shard's last is filled to >= budget
+    # only when a doc straddles; fill_q is floor(tokens/budget*1e6)
+    assert (got.fill_q == (got.tokens * 1_000_000 // 16)).all()
+
+
+# --------------------------------------------------------------------------- #
+# repetition + PII
+# --------------------------------------------------------------------------- #
+
+def test_repetition_fractions(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y x y x y"), (3, "u v w")], ["id", "text"])
+    got = {r.id: r for r in df.select(
+        "id", top_token_frac_q(F.col("text")).alias("tt"),
+        top_bigram_frac_q(F.col("text")).alias("tb")).collect()}
+    assert got[1].tt == 750_000            # 'a' is 3 of 4
+    assert got[2].tt == 500_000            # 'x' 3 of 6
+    # bigrams of doc2: "x y","y x","x y","y x","x y" -> top 3/5
+    assert got[2].tb == 600_000
+    assert got[3].tt == 333_333
+
+
+def test_pii_mask_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-a.org now"),
+         (2, "call +1 555-123-4567 or 555 987 6543"),
+         (3, "clean text only")], ["id", "text"])
+    n_mail, n_phone = pii_counts(F.col("text"))
+    got = {r.id: r for r in df.select(
+        "id", n_mail.alias("nm"), n_phone.alias("np"),
+        mask_pii(F.col("text")).alias("m")).collect()}
+    assert (got[1].nm, got[1].np) == (1, 0)
+    assert got[1].m == "mail <EMAIL> now"
+    assert got[2].np == 2
+    assert "<PHONE>" in got[2].m and "555" not in got[2].m
+    assert (got[3].nm, got[3].np) == (0, 0)
+    assert got[3].m == "clean text only"
+
+
+# --------------------------------------------------------------------------- #
+# incremental dedup
+# --------------------------------------------------------------------------- #
+
+def test_dedup_incremental_decisions(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different existing content here ok")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, base),                             # exact copy of existing 1
+         (11, "fresh unseen content zzz qqq"),   # duplicated in batch
+         (12, "fresh unseen content zzz qqq"),   # -> dup of 11
+         (13, base + " extra"),                  # near-dup of existing 1
+         (14, "totally novel words nothing shared")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           dedup_incremental(new, existing, shingle_n=3,
+                             threshold_q=500_000).collect()}
+    assert len(got) == 5                         # one decision per new doc
+    assert (got[10].method, got[10].keep_id) == ("exact_existing", 1)
+    assert got[11].method == "new"               # first occurrence kept
+    assert (got[12].method, got[12].keep_id) == ("exact_in_batch", 11)
+    assert (got[13].method, got[13].keep_id) == ("near_dup_existing", 1)
+    assert got[14].method == "new"
+
+
+def test_dedup_incremental_never_pairs_existing_with_existing(spark):
+    # two identical EXISTING docs: incremental must not report them — only
+    # new docs get decisions
+    existing = spark.createDataFrame(
+        [(1, "same text here ok fine"), (2, "same text here ok fine")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame([(10, "unrelated fresh content")],
+                                ["doc_id", "text"])
+    got = dedup_incremental(new, existing).collect()
+    assert [r.doc_id for r in got] == [10]
+    assert got[0].method == "new"
