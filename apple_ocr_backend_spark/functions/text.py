@@ -115,31 +115,38 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 # Repetition signals (Gopher-style quality rules) and PII masking
 # --------------------------------------------------------------------------- #
 
-def top_token_frac_q(text: Column, scale: int = 1_000_000) -> Column:
+def top_token_frac_q(text: Column, scale: int = 1_000_000,
+                     max_tokens: int = 4096) -> Column:
     """Fraction of tokens taken by the single most frequent token —
     the Gopher-style repetition signal (a page that is one token over and
     over scores ~scale).  Computed with array higher-order functions:
-    per-doc cost is O(distinct x tokens) JVM comparisons, bounded by doc
-    length — no explode, no shuffle, no UDF."""
-    toks = tokens(text)
+    no explode, no shuffle, no UDF.  Per-doc cost is O(distinct x tokens)
+    JVM comparisons, so the sweep is bounded to the first ``max_tokens``
+    tokens (same prefix idiom as ``fingerprint``): a multi-MB repetition
+    page still scores ~scale on its prefix, and cost per doc stays
+    constant at corpus scale."""
+    toks = F.slice(tokens(text), 1, max_tokens)
     top = F.array_max(F.transform(
         F.array_distinct(toks),
         lambda t: F.size(F.filter(toks, lambda y: y == t))))
     return F.floor(top / F.size(toks) * scale).cast("long")
 
 
-def bigrams(text: Column) -> Column:
-    """Array of adjacent token bigrams ("a b") — [] for 1-token docs."""
-    toks = tokens(text)
+def bigrams(text: Column, max_tokens: int = 4096) -> Column:
+    """Array of adjacent token bigrams ("a b") over the first
+    ``max_tokens`` tokens — a single unpaired token yields itself."""
+    toks = F.slice(tokens(text), 1, max_tokens)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
 
 
-def top_bigram_frac_q(text: Column, scale: int = 1_000_000) -> Column:
+def top_bigram_frac_q(text: Column, scale: int = 1_000_000,
+                      max_tokens: int = 4096) -> Column:
     """Fraction of bigram occurrences taken by the most frequent bigram
-    (catches two-token loops that the unigram signal dilutes)."""
-    bg = bigrams(text)
+    (catches two-token loops that the unigram signal dilutes); same
+    prefix bound as ``top_token_frac_q``."""
+    bg = bigrams(text, max_tokens)
     top = F.array_max(F.transform(
         F.array_distinct(bg),
         lambda t: F.size(F.filter(bg, lambda y: y == t))))

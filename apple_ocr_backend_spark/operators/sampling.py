@@ -98,6 +98,12 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 512,
 
     Returns one row per bin: shard, bin, n_docs, tokens, fill_q
     (floor(tokens/budget * 1e6), > 1e6 means an over-budget doc straddles).
+
+    ``n_shards`` is the parallelism knob: each shard's window is one
+    sorted task, so size it to corpus/(tokens you want one task to pack) —
+    the bench default 8 suits the test corpus; a 100 TB run wants
+    thousands (bins never cross shards, so shard count does not change
+    any bin's content, only which task builds it).
     """
     toks = df.select(
         F.col(id_col).alias("id"),

@@ -1479,17 +1479,20 @@ WITH toks AS (
   FROM documents
 ),
 bg AS (
-  SELECT doc_id, tk,
-         [tk[i] || CASE WHEN i + 1 <= len(tk) THEN ' ' || tk[i+1] ELSE '' END
-          FOR i IN range(1, GREATEST(len(tk) - 1, 1) + 1)] AS bgs
+  -- tks mirrors the Spark side's 4096-token prefix bound on the
+  -- quadratic fraction signals (dup_token_q stays over the full doc)
+  SELECT doc_id, tk, tk[1:4096] AS tks,
+         [tk[i] || CASE WHEN i + 1 <= LEAST(len(tk), 4096)
+                        THEN ' ' || tk[i+1] ELSE '' END
+          FOR i IN range(1, GREATEST(LEAST(len(tk), 4096) - 1, 1) + 1)] AS bgs
   FROM toks
 )
 SELECT doc_id,
        CAST(FLOOR((len(tk) - len(list_distinct(tk)))
                   / len(tk) * 1000000) AS BIGINT) AS dup_token_q,
-       CAST(FLOOR(list_max(list_transform(list_distinct(tk),
-                    t -> len(list_filter(tk, y -> y = t))))
-                  / len(tk) * 1000000) AS BIGINT) AS top_token_q,
+       CAST(FLOOR(list_max(list_transform(list_distinct(tks),
+                    t -> len(list_filter(tks, y -> y = t))))
+                  / len(tks) * 1000000) AS BIGINT) AS top_token_q,
        CAST(FLOOR(list_max(list_transform(list_distinct(bgs),
                     t -> len(list_filter(bgs, y -> y = t))))
                   / len(bgs) * 1000000) AS BIGINT) AS top_bigram_q
@@ -1722,6 +1725,78 @@ SELECT user_id, CAST(session_ord AS BIGINT) AS session_ord,
        CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM sess GROUP BY user_id, session_ord
 """)
+
+
+def _q_training_mix(spark, sf):
+    """END-TO-END training-data assembly — the composite the individual
+    round-3 entries exist for: quality gate -> deterministic stratified
+    sample + split -> concatenate-and-chunk packing of the surviving TRAIN
+    docs.  Every stage is the already-audited operator; the whole chain is
+    map-only until the single packing window shuffle, so it scales exactly
+    like its weakest member (one shuffle)."""
+    from ..operators.sampling import (pack_sequences, sample_stratified,
+                                      split_assign)
+    d = T(spark, sf, "documents")
+    quality_keep = ((TX.token_count(F.col("text")) >= 10)
+                    & (TX.quality_score_q(F.col("text")) >= 300_000))
+    rates = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.5}
+    staged = split_assign(
+        sample_stratified(d.filter(quality_keep), rates,
+                          stratum_col="lang", default_rate=0.1),
+        train=0.9, val=0.05)
+    train = staged.filter(F.col("sampled") & (F.col("split") == "train"))
+    return (pack_sequences(train, budget_tokens=512, n_shards=8)
+            .orderBy("shard", "bin"))
+
+
+def _training_mix_sql() -> str:
+    from ..operators.sampling import rate_to_hex
+    rate_rows = ", ".join(
+        f"('{k}', '{rate_to_hex(v)}')"
+        for k, v in sorted({"en": 0.9, "de": 0.5, "fr": 0.5,
+                            "es": 0.5}.items()))
+    return f"""
+WITH rates(lang, thresh) AS (VALUES {rate_rows}),
+feats AS (
+  SELECT doc_id, lang, text,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, tk FROM feats
+  WHERE len(tk) >= 10
+    AND FLOOR((LEAST(len(tk)/50.0, 1.0)*0.5
+               + (len(list_distinct(tk))/len(tk))*0.3
+               + (length(regexp_replace(text,'[^A-Za-z]','','g'))
+                  / GREATEST(length(text),1))*0.2) * 1000000) >= 300000
+),
+staged AS (
+  SELECT q.doc_id, len(q.tk) AS n_tok,
+         substring(md5('rate' || CAST(q.doc_id AS VARCHAR)), 1, 8)
+           < COALESCE(r.thresh, '{rate_to_hex(0.1)}') AS sampled,
+         substring(md5('split' || CAST(q.doc_id AS VARCHAR)), 1, 8)
+           < '{rate_to_hex(0.9)}' AS is_train
+  FROM quality q LEFT JOIN rates r ON q.lang = r.lang
+),
+train AS (SELECT doc_id AS id, doc_id % 8 AS shard, n_tok
+          FROM staged WHERE sampled AND is_train),
+binned AS (
+  SELECT id, shard, n_tok,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY shard ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 512.0) AS BIGINT) AS bin
+  FROM train
+)
+SELECT shard, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       MIN(id) AS first_id, MAX(id) AS last_id,
+       CAST(FLOOR(SUM(n_tok) / 512.0 * 1000000) AS BIGINT) AS fill_q
+FROM binned GROUP BY shard, bin
+"""
+
+
+_register("training_mix", _q_training_mix, _training_mix_sql())
 
 
 # =========================================================================== #
