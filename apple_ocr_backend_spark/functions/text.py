@@ -98,59 +98,108 @@ def fingerprint(text: Column, n: int = 8, max_chars: int = 4096) -> Column:
     shingle expansion is O(len) hashes/doc, which a multi-MB document would
     turn into millions of md5s for one signature — the prefix keeps the cost
     constant per doc while staying deterministic (same idiom as content-
-    defined sampling in large-corpus fingerprinting)."""
+    defined sampling in large-corpus fingerprinting).
+
+    The lambda captures only the raw ``text`` column (an attribute read is
+    free per element); bounding the POSITION RANGE replaces the earlier
+    ``substring(text, 1, max_chars)`` capture, which — like any computed
+    expression captured in a higher-order-function lambda — was re-evaluated
+    per element (see ``word_shingles``)."""
+    bound = F.least(F.greatest(F.length(text) - (n - 1), F.lit(1)),
+                    F.lit(max_chars))
     return F.array_min(
-        F.transform(char_shingles(F.substring(text, 1, max_chars), n), F.md5))
+        F.transform(F.sequence(F.lit(1), bound),
+                    lambda i: F.md5(F.substring(text, i, F.lit(n)))))
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of n-word shingles."""
+    """Array of n-word shingles.
+
+    Built by zipping n-1 shifted copies of the token array, NOT by indexing
+    the array from inside a ``transform`` lambda: an expression captured in
+    a higher-order-function lambda is re-evaluated PER ELEMENT by both the
+    interpreted and codegen paths, so the earlier
+    ``transform(sequence(...), i -> concat_ws(slice(toks, i, n)))`` shape
+    re-ran the whole tokenization (a regex pass over the full text) once
+    per token per document — O(tokens) regex passes/doc, the single largest
+    cost in every MinHash/Jaccard operator built on this function.  The zip
+    shape references ``toks`` a constant number of times per row.
+
+    ``zip_with`` pads the shorter side with nulls and ``concat_ws`` skips
+    them, so the trailing partial windows come out right and the final
+    slice truncates to exactly ``max(size - n + 1, 1)`` shingles —
+    identical output to the old shape, including short-doc edge cases.
+    """
     toks = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    sh = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1,
+                          F.greatest(F.size(toks) - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted,
+                        lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
 
 
 # --------------------------------------------------------------------------- #
 # Repetition signals (Gopher-style quality rules) and PII masking
 # --------------------------------------------------------------------------- #
 
+def _max_multiplicity(arr: Column) -> Column:
+    """Count of the most frequent element = longest run of equal adjacent
+    elements in the SORTED array: one O(n log n) sort + one linear fold.
+    The naive ``transform(array_distinct(arr), t -> size(filter(arr, ...)))``
+    shape is O(distinct x n) AND re-evaluates the captured ``arr``
+    expression per distinct element (the higher-order-function capture
+    trap, see ``word_shingles``) — on token arrays that meant re-running
+    the tokenization regex thousands of times per document."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(F.lit(0).alias("best"), F.lit(0).alias("run"),
+                 F.lit(None).cast("string").alias("prev")),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNotNull() & (acc["prev"] == x),
+                       acc["run"] + 1).otherwise(F.lit(1))).alias("best"),
+            F.when(acc["prev"].isNotNull() & (acc["prev"] == x),
+                   acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            x.alias("prev")),
+        lambda acc: acc["best"])
+
+
 def top_token_frac_q(text: Column, scale: int = 1_000_000,
                      max_tokens: int = 4096) -> Column:
     """Fraction of tokens taken by the single most frequent token —
     the Gopher-style repetition signal (a page that is one token over and
-    over scores ~scale).  Computed with array higher-order functions:
-    no explode, no shuffle, no UDF.  Per-doc cost is O(distinct x tokens)
-    JVM comparisons, so the sweep is bounded to the first ``max_tokens``
-    tokens (same prefix idiom as ``fingerprint``): a multi-MB repetition
-    page still scores ~scale on its prefix, and cost per doc stays
-    constant at corpus scale."""
+    over scores ~scale).  Sorted-run-length mode count: no explode, no
+    shuffle, no UDF, O(n log n) per doc.  The sweep is bounded to the
+    first ``max_tokens`` tokens (same prefix idiom as ``fingerprint``):
+    a multi-MB repetition page still scores ~scale on its prefix, and
+    cost per doc stays constant at corpus scale."""
     toks = F.slice(tokens(text), 1, max_tokens)
-    top = F.array_max(F.transform(
-        F.array_distinct(toks),
-        lambda t: F.size(F.filter(toks, lambda y: y == t))))
-    return F.floor(top / F.size(toks) * scale).cast("long")
+    return F.floor(_max_multiplicity(toks) / F.size(toks) * scale) \
+        .cast("long")
 
 
 def bigrams(text: Column, max_tokens: int = 4096) -> Column:
     """Array of adjacent token bigrams ("a b") over the first
-    ``max_tokens`` tokens — a single unpaired token yields itself."""
+    ``max_tokens`` tokens — a single unpaired token yields itself.
+    Zip-of-shifted-copies shape (see ``word_shingles`` for why not a
+    transform-lambda over positions)."""
     toks = F.slice(tokens(text), 1, max_tokens)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    zipped = F.zip_with(toks, shifted,
+                        lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(zipped, 1, F.greatest(F.size(toks) - 1, F.lit(1)))
 
 
 def top_bigram_frac_q(text: Column, scale: int = 1_000_000,
                       max_tokens: int = 4096) -> Column:
     """Fraction of bigram occurrences taken by the most frequent bigram
     (catches two-token loops that the unigram signal dilutes); same
-    prefix bound as ``top_token_frac_q``."""
+    prefix bound and sorted-run-length mode as ``top_token_frac_q``."""
     bg = bigrams(text, max_tokens)
-    top = F.array_max(F.transform(
-        F.array_distinct(bg),
-        lambda t: F.size(F.filter(bg, lambda y: y == t))))
-    return F.floor(top / F.size(bg) * scale).cast("long")
+    return F.floor(_max_multiplicity(bg) / F.size(bg) * scale).cast("long")
 
 
 # PII patterns — kept inside the syntax subset where java.util.regex and
