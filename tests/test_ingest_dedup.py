@@ -1,0 +1,72 @@
+"""Streaming ingestion dedup: every micro-batch deduped against the
+accumulated accepted corpus (stored digests + stored MinHash signatures) —
+the continuous form of dedup_incremental, with the same exactly-once epoch
+ledger as stream_extract."""
+
+from __future__ import annotations
+
+import os
+
+from apple_ocr_backend_spark.sources.icelite import Table
+from apple_ocr_backend_spark.streaming.ingest_dedup import (
+    ingest_dedup_epoch, stream_ingest_dedup)
+
+DDL = "doc_id LONG, text STRING"
+BASE = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ingest_epoch_decisions_across_batches(spark, tmp_path):
+    t = Table(str(tmp_path / "tbl"))
+    b1 = _docs(spark, [(1, BASE),
+                       (2, "completely different existing content here ok")])
+    assert ingest_dedup_epoch(t, b1, 0, run_id="r1") is True
+    acc1 = t.read(spark).toPandas().sort_values("id")
+    assert list(acc1.id) == [1, 2]
+    assert set(acc1.columns) >= {"id", "text", "digest", "sigs"}
+
+    b2 = _docs(spark, [
+        (10, BASE),                            # exact dup of accepted 1
+        (11, "fresh unseen content zzz qqq"),  # kept (first of in-batch pair)
+        (12, "fresh unseen content zzz qqq"),  # in-batch exact dup of 11
+        (13, BASE + " extra"),                 # near-dup of accepted 1
+        (14, "totally novel words nothing shared"),
+    ])
+    assert ingest_dedup_epoch(t, b2, 1, run_id="r1") is True
+    acc2 = t.read(spark).toPandas().sort_values("id")
+    assert list(acc2.id) == [1, 2, 11, 14]
+    summary = t.snapshots()[-1]["summary"]
+    assert summary["docs_in"] == 5
+    assert summary["accepted"] == 2
+    assert summary["dup_exact_batch"] == 1
+    assert summary["dup_exact_existing"] == 1
+    assert summary["near_dup_existing"] == 1
+
+
+def test_ingest_epoch_replay_is_idempotent(spark, tmp_path):
+    t = Table(str(tmp_path / "tbl"))
+    b = _docs(spark, [(1, BASE)])
+    assert ingest_dedup_epoch(t, b, 0, run_id="r1") is True
+    n = t.read(spark).count()
+    assert ingest_dedup_epoch(t, b, 0, run_id="r1") is False
+    assert t.read(spark).count() == n
+
+
+def test_stream_ingest_dedup_end_to_end(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    b1 = _docs(spark, [(1, BASE), (2, "some other accepted doc text here")])
+    b2 = _docs(spark, [(10, BASE), (11, "a brand new document arrives")])
+    b1.coalesce(1).write.parquet(os.path.join(in_dir, "a"))
+    b2.coalesce(1).write.parquet(os.path.join(in_dir, "b"))
+    q = stream_ingest_dedup(spark, in_dir + "/*", str(tmp_path / "tbl"),
+                            str(tmp_path / "ckpt"), DDL,
+                            max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got = sorted(r.id for r in Table(str(tmp_path / "tbl"))
+                 .read(spark).select("id").collect())
+    # doc 10 is an exact dup of doc 1 (whichever file lands first, ids 1/2
+    # and 11 survive; 10 is the copy) — file order is lexicographic a, b
+    assert got == [1, 2, 11]
