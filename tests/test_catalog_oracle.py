@@ -62,8 +62,13 @@ def test_query_matches_oracle(spark, ddb, name):
         raise AssertionError(f"{name}: value mismatch, e.g.\n{diff.head(10)}")
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", ROWS_ONLY or ["__all_entries_have_oracles__"])
 def test_rows_only_queries_run(spark, name):
+    # an empty ROWS_ONLY list used to surface as a skipped empty-parameter
+    # test; assert the good state explicitly instead
+    if name == "__all_entries_have_oracles__":
+        assert ROWS_ONLY == []
+        return
     got = catalog()[name]["spark"](spark, SF)
     assert got.count() > 0
     assert len(got.columns) > 0
