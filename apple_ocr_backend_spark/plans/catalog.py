@@ -1727,6 +1727,35 @@ FROM sess GROUP BY user_id, session_ord
 """)
 
 
+def _q_length_quantiles(spark, sf):
+    """Corpus profiling: exact p50/p90/p99 of document length per language
+    (the distribution stats a packing/budgeting step consumes).  Exact
+    ``percentile`` (linear interpolation), not approx sketches — the
+    cross-engine approximate algorithms differ, so the deterministic
+    catalog uses the exact form; the milli-quantized output keeps the
+    value hash immune to last-ulp interpolation differences.  One
+    map-side-combinable groupBy; at 100 TB swap in approx_percentile for
+    the same plan shape with bounded memory."""
+    d = T(spark, sf, "documents")
+    qs = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9),
+                                         F.lit(0.99)))
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.floor(qs[0] * 1000).cast("long").alias("p50_milli"),
+                 F.floor(qs[1] * 1000).cast("long").alias("p90_milli"),
+                 F.floor(qs[2] * 1000).cast("long").alias("p99_milli"))
+            .orderBy("lang"))
+
+
+_register("length_quantiles", _q_length_quantiles, """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(FLOOR(quantile_cont(n_chars, 0.5) * 1000) AS BIGINT) AS p50_milli,
+       CAST(FLOOR(quantile_cont(n_chars, 0.9) * 1000) AS BIGINT) AS p90_milli,
+       CAST(FLOOR(quantile_cont(n_chars, 0.99) * 1000) AS BIGINT) AS p99_milli
+FROM documents GROUP BY lang
+""")
+
+
 def _q_training_mix(spark, sf):
     """END-TO-END training-data assembly — the composite the individual
     round-3 entries exist for: quality gate -> deterministic stratified

@@ -246,7 +246,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              # round-3 training-pipeline entries
              "sample_split", "pack_sequences", "quality_repetition",
              "pii_mask", "dedup_incremental", "events_asof",
-             "events_sessionize", "training_mix"]
+             "events_sessionize", "training_mix", "length_quantiles"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in
