@@ -39,9 +39,12 @@ def _hash_hex(salt: str, id_col) -> F.Column:
 
 def rate_to_hex(rate: float) -> str:
     """Threshold such that P[hash8 < threshold] = rate over uniform md5:
-    the 8-hex-digit value floor(rate * 16^8), zero-padded (lowercase)."""
-    v = min(int(rate * 16 ** 8), 16 ** 8 - 1)
-    return format(v, "08x")
+    the 8-hex-digit value floor(rate * 16^8), zero-padded (lowercase).
+    rate >= 1.0 returns "g", which sorts after every hex string — keep
+    ALL, including the 16^-8 corner where the hash is exactly ffffffff."""
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16 ** 8), "08x")
 
 
 def split_assign(df: DataFrame, id_col: str = "doc_id",

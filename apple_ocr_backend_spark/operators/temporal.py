@@ -46,15 +46,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     # properly typed NULL through the union (cast accepts a DataType)
     r_type = right.select(r_payload.alias("x")).schema["x"].dataType
     l_type = left.select(l_payload.alias("x")).schema["x"].dataType
+    # the two tie columns must share a type — the union enforces it loudly
+    # (a silent cast here could reorder e.g. numeric ties compared as text)
     lt = left.select(
         F.col(on).alias("__on"), F.col(ts).alias("__ts"),
-        F.col(left_tie).cast("long").alias("__tie"),
+        F.col(left_tie).alias("__tie"),
         F.lit(1).alias("__side"),
         l_payload.alias("__l"),
         F.lit(None).cast(r_type).alias("__r"))
     rt = right.select(
         F.col(on).alias("__on"), F.col(ts).alias("__ts"),
-        F.col(right_tie).cast("long").alias("__tie"),
+        F.col(right_tie).alias("__tie"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(l_type).alias("__l"),
         r_payload.alias("__r"))

@@ -93,8 +93,11 @@ def test_sessionize_gap_boundaries(spark):
 
 def test_rate_to_hex_bounds():
     assert rate_to_hex(0.0) == "00000000"
-    assert rate_to_hex(1.0) == "ffffffff"
+    # rate 1.0 must keep EVERY doc, including a hash of exactly ffffffff:
+    # "g" sorts after all hex strings in both engines
+    assert rate_to_hex(1.0) == "g"
     assert rate_to_hex(0.5) == "80000000"
+    assert "ffffffff" < rate_to_hex(1.0)
 
 
 def test_split_assign_deterministic_and_stable_under_growth(spark):
@@ -223,3 +226,48 @@ def test_dedup_incremental_never_pairs_existing_with_existing(spark):
     got = dedup_incremental(new, existing).collect()
     assert [r.doc_id for r in got] == [10]
     assert got[0].method == "new"
+
+
+# --------------------------------------------------------------------------- #
+# hardening: hot keys and shingle-shape parity
+# --------------------------------------------------------------------------- #
+
+def test_sessionize_hot_user_single_shuffle(spark):
+    """One user holding ~all events (the skew case): sessionize must stay a
+    single window shuffle (no per-key collect, no extra exchanges) and
+    produce exact session splits."""
+    rows = [Row(event_id=i, user_id=1, ts=_t(i * 31), event_type="view",
+                value=1.0) for i in range(2000)]           # every gap > 30m
+    rows += [Row(event_id=9001, user_id=2, ts=_t(0), event_type="view",
+                 value=1.0)]
+    df = spark.createDataFrame(rows)
+    out = sessionize(df, gap_minutes=30)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # window + final agg partials: exchanges only for the user_id
+    # hash-partitioning (plus AQE reads) — never a global single partition
+    assert "SinglePartition" not in plan
+    got = out.filter(F.col("user_id") == 1).count()
+    assert got == 2000                                      # one per event
+
+
+def _py_word_shingles(text: str, n: int = 3) -> list[str]:
+    """Pure-python reference for the zip-shifted shingle builder."""
+    import re
+    toks = re.sub(r"\s+", " ", text).strip().split(" ")
+    count = max(len(toks) - (n - 1), 1)
+    return [" ".join(toks[i:i + n]) for i in range(count)]
+
+
+def test_word_shingles_matches_python_reference(spark):
+    from apple_ocr_backend_spark.functions.text import word_shingles
+    cases = ["", "a", "a b", "a b c", "a b c d",
+             "  spaced   out\ttokens  here ", "x " * 40,
+             "one two three four five six seven"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               ["i", "text"])
+    for nn in (2, 3, 5):
+        got = {r.i: list(r.sh) for r in
+               df.select("i", word_shingles(F.col("text"), nn).alias("sh"))
+               .collect()}
+        for i, t in enumerate(cases):
+            assert got[i] == _py_word_shingles(t, nn), (nn, repr(t))
