@@ -104,9 +104,12 @@ def fingerprint(text: Column, n: int = 8, max_chars: int = 4096) -> Column:
     free per element); bounding the POSITION RANGE replaces the earlier
     ``substring(text, 1, max_chars)`` capture, which — like any computed
     expression captured in a higher-order-function lambda — was re-evaluated
-    per element (see ``word_shingles``)."""
-    bound = F.least(F.greatest(F.length(text) - (n - 1), F.lit(1)),
-                    F.lit(max_chars))
+    per element (see ``word_shingles``).  The last window position is
+    ``min(len, max_chars) - (n-1)`` so no window reads past the prefix —
+    byte-identical to shingling the materialized prefix (and to the DuckDB
+    oracle, which shingles ``substring(text, 1, max_chars)``)."""
+    bound = F.greatest(
+        F.least(F.length(text), F.lit(max_chars)) - (n - 1), F.lit(1))
     return F.array_min(
         F.transform(F.sequence(F.lit(1), bound),
                     lambda i: F.md5(F.substring(text, i, F.lit(n)))))

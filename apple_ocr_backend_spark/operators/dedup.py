@@ -67,21 +67,32 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_keys(sig_cols: list[Column], bands: int) -> Column:
+    """Array of LSH band keys: band b = concat of its r = k/bands
+    consecutive MinHash values.  md5 hex values are fixed-width (32 chars),
+    so the bare concat is collision-free.  THE single definition of the
+    band key — every candidate generator and every stored-signature
+    consumer (incremental + streaming ingest dedup) must derive keys here,
+    or stored band keys silently diverge from batch-computed ones."""
+    k = len(sig_cols)
+    r = k // bands
+    return F.array(*[
+        F.concat(*[sig_cols[b * r + j] for j in range(r)])
+        for b in range(bands)])
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 12,
                         bands: int = 4, shingle_n: int = 3) -> DataFrame:
     """LSH banding: docs agreeing on any full band of k/bands minhashes become
     a candidate pair.  Returns (id_a, id_b) with id_a < id_b, distinct."""
-    r = k // bands
     # persist: the band-row frame self-joins, and without the cache the
     # whole signature subtree (explode + k-min groupBy) is computed twice
     sig = minhash_signature(df, id_col, text_col, k, shingle_n).persist()
     # one posexplode, not a bands-way union: a union of projections makes
     # Catalyst replicate the whole signature subtree per band (audited:
     # 24 scans / 18 exchanges for bands=4 on the old shape)
-    keys = F.array(*[
-        F.concat(*[F.col(f"s{b * r + j}") for j in range(r)])
-        for b in range(bands)])
+    keys = band_keys([F.col(f"s{i}") for i in range(k)], bands)
     band_rows = (sig.select(F.col(id_col).alias("id"),
                             F.posexplode(keys).alias("band", "bkey")))
     a = band_rows.alias("a")
@@ -492,6 +503,13 @@ def dedup_incremental(new_docs: DataFrame, existing: DataFrame,
     Priority is deterministic: exact-vs-existing beats exact-in-batch
     beats near-dup (alphabetical on the method string, same idiom as
     ``dedup_decisions``); untouched docs emit ``new`` with keep_id = self.
+
+    Scope: the WITHIN-batch check is exact-only — two near-identical (but
+    not byte-equal) docs arriving in the same batch both pass.  The
+    streaming composition (``streaming.ingest_dedup``) closes that gap
+    with a batch-side near-dup pass before acceptance; for the batch
+    operator, run ``dedup_decisions`` over the accepted corpus
+    periodically if within-batch near-dups matter at your batch size.
     """
     # referenced three times (exact-vs-existing, in-batch groups, the
     # 'new' fallback rows) — persist per the module caching contract
@@ -513,11 +531,8 @@ def dedup_incremental(new_docs: DataFrame, existing: DataFrame,
                               F.lit("exact_in_batch").alias("method")))
 
     def band_rows(df):
-        r = k // bands
         sig = minhash_signature(df, id_col, text_col, k, shingle_n)
-        keys = F.array(*[
-            F.concat(*[F.col(f"s{b * r + j}") for j in range(r)])
-            for b in range(bands)])
+        keys = band_keys([F.col(f"s{i}") for i in range(k)], bands)
         return sig.select(F.col(id_col).alias("id"),
                           F.posexplode(keys).alias("band", "bkey"))
 

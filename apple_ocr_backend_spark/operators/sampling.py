@@ -72,10 +72,15 @@ def sample_stratified(df: DataFrame, rates: dict[str, float],
     Strata absent from ``rates`` fall back to ``default_rate`` (0 = drop),
     so a surprise stratum in the data cannot silently keep everything.
     """
+    h = _hash_hex(salt, F.col(id_col))
+    if not rates:
+        # every stratum falls back to the default rate — no join needed
+        # (and createDataFrame cannot infer a schema from an empty list)
+        return df.withColumn("sampled",
+                             h < F.lit(rate_to_hex(default_rate)))
     spark = df.sparkSession
     rate_rows = [(k, rate_to_hex(v)) for k, v in sorted(rates.items())]
     rdf = spark.createDataFrame(rate_rows, [stratum_col, "__thresh"])
-    h = _hash_hex(salt, F.col(id_col))
     return (df.join(F.broadcast(rdf), stratum_col, "left")
             .withColumn("__thresh",
                         F.coalesce(F.col("__thresh"),

@@ -23,21 +23,26 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
-              left_tie: str, right_tie: str,
-              payload: dict[str, str]) -> DataFrame:
-    """For every ``left`` row, attach the most recent ``right`` row with the
-    same ``on`` key and a strictly earlier ``(ts, tie)`` — backward as-of
-    join (pandas ``merge_asof`` semantics) with a deterministic tie-break.
+              right_tie: str, payload: dict[str, str]) -> DataFrame:
+    """For every ``left`` row, attach the most recent ``right`` row with
+    the same ``on`` key and a STRICTLY earlier timestamp — backward as-of
+    join (pandas ``merge_asof`` with ``allow_exact_matches=False``).
 
     ``payload`` maps output alias -> right column carried over.
+    ``right_tie`` makes "most recent" total when several right rows share
+    a timestamp: the LARGEST tie value wins.  Prior-ness is decided on the
+    timestamp alone — the two sides' id spaces are unrelated, so a
+    cross-side tie comparison would make equal-timestamp attachment depend
+    on arbitrary id magnitudes (use ``asof_join_events`` when both sides
+    come from ONE table and share an id space for sub-timestamp ordering).
 
     Implementation: tag + union both sides, one window per key ordered by
-    ``(ts, tie, side)`` where left rows sort AFTER right rows at identical
-    sort keys, then ``last(payload_struct, ignorenulls)`` over the strictly
+    ``(ts, side, right_tie)`` with left rows sorting BEFORE right rows at
+    the same timestamp (so an equal-ts right row is never in the preceding
+    frame), then ``last(payload_struct, ignorenulls)`` over the strictly
     preceding frame.  Exactly one shuffle (the window partition); no range
-    join (a naive ``l.ts >= r.ts`` theta-join explodes per key), no per-key
-    collect.  Each side's tie column must be unique within key+ts so "most
-    recent" is a total order and the result is engine-independent.
+    join (a naive ``l.ts >= r.ts`` theta-join explodes per key), no
+    per-key collect.
     """
     r_payload = F.struct(
         *[F.col(c).alias(a) for a, c in payload.items()])
@@ -46,26 +51,25 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     # properly typed NULL through the union (cast accepts a DataType)
     r_type = right.select(r_payload.alias("x")).schema["x"].dataType
     l_type = left.select(l_payload.alias("x")).schema["x"].dataType
-    # the two tie columns must share a type — the union enforces it loudly
-    # (a silent cast here could reorder e.g. numeric ties compared as text)
+    tie_type = right.schema[right_tie].dataType
     lt = left.select(
         F.col(on).alias("__on"), F.col(ts).alias("__ts"),
-        F.col(left_tie).alias("__tie"),
-        F.lit(1).alias("__side"),
+        F.lit(None).cast(tie_type).alias("__tie"),
+        F.lit(0).alias("__side"),
         l_payload.alias("__l"),
         F.lit(None).cast(r_type).alias("__r"))
     rt = right.select(
         F.col(on).alias("__on"), F.col(ts).alias("__ts"),
         F.col(right_tie).alias("__tie"),
-        F.lit(0).alias("__side"),
+        F.lit(1).alias("__side"),
         F.lit(None).cast(l_type).alias("__l"),
         r_payload.alias("__r"))
     both = lt.unionByName(rt)
-    w = (W.partitionBy("__on").orderBy("__ts", "__tie", "__side")
+    w = (W.partitionBy("__on").orderBy("__ts", "__side", "__tie")
          .rowsBetween(W.unboundedPreceding, -1))
     carried = both.withColumn("__asof",
                               F.last("__r", ignorenulls=True).over(w))
-    return (carried.filter(F.col("__side") == 1)
+    return (carried.filter(F.col("__side") == 0)
             .select(F.col("__l.*"),
                     *[F.col(f"__asof.{a}").alias(f"asof_{a}")
                       for a in payload]))

@@ -1150,7 +1150,10 @@ def _q_ann_ivf_nprobe(spark, sf):
     — the standard recall lever for near-boundary queries."""
     e = T(spark, sf, "embeddings")
     cent = SS.kmeans_fit(e, k=8, sample_n=256, iters=3)
-    withcell = SS.assign_cells(e, cent)
+    # persist for the same reason kmeans_cells does: the assigned frame is
+    # referenced on both join sides, and the cache boundary stops the
+    # IsNotNull(cell) pushdown from re-inlining the k distance expressions
+    withcell = SS.assign_cells(e, cent).persist()
     return (SS.ivf_topk_nprobe(withcell, cent, nprobe=2, n_queries=10, k=5)
             .orderBy("q_id", "rank"))
 

@@ -79,6 +79,21 @@ class Table:
         with self._commit_lock:
             parent = self.last_snapshot()
             sid = (parent["snapshot_id"] + 1) if parent else 1
+            # an orphan snapshot file beyond the chain break (e.g. a v5
+            # whose v4 was removed) would be RESURRECTED into committed
+            # state if this append filled the gap with a fresh v4 — refuse
+            # loudly instead of silently recommitting aborted data
+            snap_dir = os.path.join(self.path, "snapshots")
+            orphans = sorted(
+                int(m.group(1)) for m in
+                (_SNAP_RE.match(n) for n in os.listdir(snap_dir))
+                if m and int(m.group(1)) >= sid)
+            if orphans:
+                raise RuntimeError(
+                    f"orphan snapshot(s) v{orphans} exist beyond the "
+                    f"committed chain (next id {sid}); appending would "
+                    "resurrect them as committed state — run vacuum() "
+                    "first")
             snap = {
                 "snapshot_id": sid,
                 "parent_id": parent["snapshot_id"] if parent else None,
@@ -133,7 +148,9 @@ class Table:
           never reached their rename);
         * ``data/`` dirs referenced by NO committed-chain snapshot;
         * snapshot files beyond the chain break (e.g. a ``v5.json`` whose
-          ``v4`` never committed — unreachable forever since ids only grow).
+          ``v4`` never committed — unreachable because ``append()`` refuses
+          to fill the gap while the orphan exists, so it can never be
+          resurrected into committed state).
 
         Committed state is untouched: ``read()`` before == after.  Returns
         ``{"staging": [...], "data": [...], "snapshots": [...]}`` of removed

@@ -122,7 +122,8 @@ def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[list]]]
         'officeDocument/2006/relationships/officeDocument" '
         'Target="xl/workbook.xml"/></Relationships>')
     wb_sheets = "".join(
-        f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name="{escape(n, {chr(34): "&quot;"})}" '
+        f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, n in enumerate(names))
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

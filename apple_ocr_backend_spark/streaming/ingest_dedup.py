@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..operators.dedup import jaccard_verify, minhash_signature
+from ..operators.dedup import (band_keys, connected_components,
+                               jaccard_verify, minhash_signature)
 from ..sources.icelite import Table
 
 
@@ -31,20 +32,26 @@ def _with_identity(docs: DataFrame, id_col: str, text_col: str,
                    k: int, shingle_n: int) -> DataFrame:
     """(id, text, digest, sigs) — the row shape the accepted store keeps.
     ``sigs`` is the k-MinHash signature as an array column; band keys are
-    derived from it at join time, so the store never re-shingles."""
+    derived from it at join time, so the store never re-shingles.
+
+    LEFT join: a doc whose text produces no shingle rows (NULL text) keeps
+    a NULL signature instead of silently vanishing — it still flows
+    through the exact/accept path (a NULL digest matches nothing, so it is
+    accepted as 'new', the same outcome dedup_incremental gives it), and
+    the band explode of a NULL array simply yields no candidate rows."""
     sig = minhash_signature(docs, id_col, text_col, k, shingle_n)
     sigs = F.array(*[F.col(f"s{i}") for i in range(k)])
     return (docs.select(F.col(id_col).alias("id"),
                         F.col(text_col).alias("text"))
             .join(sig.select(F.col(id_col).alias("id"),
-                             sigs.alias("sigs")), "id"))
+                             sigs.alias("sigs")), "id", "left"))
 
 
 def _band_rows(idf: DataFrame, k: int, bands: int) -> DataFrame:
-    r = k // bands
-    keys = F.array(*[
-        F.concat(*[F.col("sigs")[b * r + j] for j in range(r)])
-        for b in range(bands)])
+    # band keys come from operators.dedup.band_keys — the ONE definition —
+    # so keys derived from STORED signature arrays can never diverge from
+    # the keys the batch-side candidate generators compute
+    keys = band_keys([F.col("sigs")[i] for i in range(k)], bands)
     return idf.select("id", F.posexplode(keys).alias("band", "bkey"))
 
 
@@ -62,7 +69,11 @@ def ingest_dedup_epoch(table: Table, batch: DataFrame, epoch_id: int,
     3. near-duplicate of an accepted doc (band join: batch signatures vs
        band keys derived from STORED signatures, exact-Jaccard verify on
        the candidate pairs only);
-    4. otherwise accepted — appended with digest + signature so future
+    4. near-duplicate WITHIN the surviving batch docs (band self-join +
+       verify + connected components; each cluster's min id is accepted,
+       the rest are dropped) — closes the blind spot a batch boundary
+       would otherwise introduce between two near-identical arrivals;
+    5. otherwise accepted — appended with digest + signature so future
        batches check against it at stored-signature cost.
 
     Returns True if committed, False for a replayed epoch (no-op).
@@ -73,7 +84,7 @@ def ingest_dedup_epoch(table: Table, batch: DataFrame, epoch_id: int,
     spark = batch.sparkSession
     new = _with_identity(batch, id_col, text_col, k, shingle_n) \
         .withColumn("digest", F.md5("text")).persist()
-    acc = accepted = None
+    acc = accepted = stage3 = None
     try:
         n_in = new.count()
         # 1. in-batch exact: min id per digest survives this stage
@@ -103,13 +114,38 @@ def ingest_dedup_epoch(table: Table, batch: DataFrame, epoch_id: int,
             near_hits = (jaccard_verify(corpus, cands, id_col, text_col,
                                         shingle_n, threshold_q)
                          .select(F.col("id_b").alias("id")).distinct())
-            accepted = stage2.join(near_hits, "id", "left_anti")
+            stage3 = stage2.join(near_hits, "id", "left_anti")
         else:
-            accepted = stage2 = stage1
+            stage3 = stage2 = stage1
+        stage3 = stage3.persist()
+        n_stage3 = stage3.count()
+        # 4. near-dup WITHIN the surviving batch docs: self band join,
+        #    verify, components — keep each cluster's min id
+        sb = _band_rows(stage3.select("id", "sigs"), k, bands)
+        scands = (sb.alias("x").join(
+                      sb.alias("y"),
+                      (F.col("x.band") == F.col("y.band"))
+                      & (F.col("x.bkey") == F.col("y.bkey"))
+                      & (F.col("x.id") < F.col("y.id")))
+                  .select(F.col("x.id").alias("id_a"),
+                          F.col("y.id").alias("id_b"))
+                  .distinct())
+        sverified = jaccard_verify(
+            stage3.select(F.col("id").alias(id_col),
+                          F.col("text").alias(text_col)),
+            scands, id_col, text_col, shingle_n, threshold_q)
+        if sverified.limit(1).count():
+            drop = (connected_components(sverified)
+                    .filter(F.col("id") != F.col("component"))
+                    .select("id"))
+            accepted = stage3.join(drop, "id", "left_anti")
+        else:
+            accepted = stage3
         accepted = accepted.persist()
         n_accepted = accepted.count()
         n_exact_existing = stage1.count() - stage2.count() if have else 0
-        n_near = (stage2.count() - n_accepted) if have else 0
+        n_near = (stage2.count() - n_stage3) if have else 0
+        n_near_batch = n_stage3 - n_accepted
         table.append(
             accepted.select("id", "text", "digest", "sigs"),
             operation=f"ingest/epoch={key}",
@@ -117,11 +153,14 @@ def ingest_dedup_epoch(table: Table, batch: DataFrame, epoch_id: int,
                      "docs_in": n_in, "accepted": n_accepted,
                      "dup_exact_batch": n_batch_dup,
                      "dup_exact_existing": n_exact_existing,
-                     "near_dup_existing": n_near})
+                     "near_dup_existing": n_near,
+                     "near_dup_batch": n_near_batch})
     finally:
         new.unpersist()
         if acc is not None:
             acc.unpersist()
+        if stage3 is not None:
+            stage3.unpersist()
         if accepted is not None:
             accepted.unpersist()
     return True

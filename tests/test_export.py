@@ -166,3 +166,13 @@ def test_workbook_frames_three_sheets(spark):
     meta = dict(zip(frames["metadata"]["field"], frames["metadata"]["value"]))
     assert meta["record_count"] == "3"
     assert meta["filter:date_from"] == "2024-01-01"
+
+
+def test_xlsx_lite_sheet_name_with_quotes(tmp_path):
+    """Sheet names land in an XML attribute — double quotes must be
+    escaped or the workbook is unparseable."""
+    from apple_ocr_backend_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+    p = write_xlsx(str(tmp_path / "q.xlsx"),
+                   {'my "quoted" sheet': (["a"], [[1]])})
+    sheets = read_xlsx(p)
+    assert list(sheets) == ['my "quoted" sheet']

@@ -70,3 +70,21 @@ def test_stream_ingest_dedup_end_to_end(spark, tmp_path):
     # doc 10 is an exact dup of doc 1 (whichever file lands first, ids 1/2
     # and 11 survive; 10 is the copy) — file order is lexicographic a, b
     assert got == [1, 2, 11]
+
+
+def test_ingest_epoch_near_dup_within_batch_and_null_text(spark, tmp_path):
+    """Finding-driven coverage: (a) two near-identical docs in the SAME
+    batch — only the cluster min is accepted; (b) a NULL-text doc is
+    accepted as new, not silently dropped."""
+    t = Table(str(tmp_path / "tbl"))
+    b = spark.createDataFrame(
+        [(1, BASE), (2, BASE + " tail"), (3, None),
+         (4, "something else entirely different here")],
+        "doc_id LONG, text STRING")
+    assert ingest_dedup_epoch(t, b, 0, run_id="r1") is True
+    acc = t.read(spark).toPandas().sort_values("id")
+    assert list(acc.id) == [1, 3, 4]          # 2 dropped as near-dup of 1
+    summary = t.snapshots()[-1]["summary"]
+    assert summary["docs_in"] == 4
+    assert summary["near_dup_batch"] == 1
+    assert summary["accepted"] == 3

@@ -161,3 +161,26 @@ def test_schema_evolution_legacy_rows_tolerated(spark, tmp_path):
     # the coalesce/default-fill dispatch (SURVEY J5)
     filled = got.withColumn("source", F.coalesce("source", F.lit("server")))
     assert {r["source"] for r in filled.collect()} == {"server", "ios"}
+
+
+def test_append_refuses_to_resurrect_orphan_snapshot(spark, tmp_path):
+    """An orphan snapshot beyond the chain break must never be silently
+    recommitted: filling the gap with a fresh append would make the
+    orphan's data dirs committed state again.  append() refuses until
+    vacuum removes the orphan."""
+    import json
+    import os
+    import pytest
+    from apple_ocr_backend_spark.sources.icelite import Table
+    t = Table(str(tmp_path / "t"))
+    t.append(spark.range(4).toDF("x"), summary={"unit": 0})
+    # aborted-run leftover: v3 exists while v2 never committed
+    with open(os.path.join(t.path, "snapshots", "v3.json"), "w") as f:
+        json.dump({"snapshot_id": 3, "parent_id": 2, "data_dirs": []}, f)
+    with pytest.raises(RuntimeError, match="resurrect"):
+        t.append(spark.range(1).toDF("x"), summary={"unit": 1})
+    # committed state untouched, vacuum clears the orphan, append resumes
+    assert t.read(spark).count() == 4
+    t.vacuum(min_age_sec=0)
+    assert t.append(spark.range(1).toDF("x"), summary={"unit": 1}) == 2
+    assert t.read(spark).count() == 5

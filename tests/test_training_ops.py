@@ -39,12 +39,26 @@ def test_asof_join_matches_merge_asof(spark):
              for i, m in enumerate([1, 9, 30])]
     got = (asof_join(spark.createDataFrame(left),
                      spark.createDataFrame(right),
-                     on="k", ts="ts", left_tie="lid", right_tie="rid",
+                     on="k", ts="ts", right_tie="rid",
                      payload={"rid": "rid", "px": "px"})
            .orderBy("lid").collect())
     # lid0 @5 -> rid100 (@1); lid1 @10 -> rid101 (@9);
     # lid2 @30 -> rid101: the @30 right row is NOT strictly earlier
     assert [r.asof_rid for r in got] == [100, 101, 101]
+
+
+def test_asof_join_equal_ts_and_right_tie(spark):
+    # two right rows at the same prior timestamp: the larger tie wins;
+    # a right row at the LEFT row's own timestamp is never attached
+    left = [Row(k=1, ts=_t(10), lid=0)]
+    right = [Row(k=1, ts=_t(5), rid=7, px=1.0),
+             Row(k=1, ts=_t(5), rid=9, px=2.0),
+             Row(k=1, ts=_t(10), rid=11, px=3.0)]
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="k", ts="ts", right_tie="rid",
+                    payload={"rid": "rid"}).collect()
+    assert got[0].asof_rid == 9
 
 
 def test_asof_join_events_strict_priority_and_nulls(spark):
@@ -271,3 +285,31 @@ def test_word_shingles_matches_python_reference(spark):
                .collect()}
         for i, t in enumerate(cases):
             assert got[i] == _py_word_shingles(t, nn), (nn, repr(t))
+
+
+def test_fingerprint_long_doc_stays_within_prefix(spark):
+    """Docs longer than max_chars: no shingle window may read past the
+    prefix — the value must equal shingling the materialized prefix (the
+    unchanged DuckDB oracle's shape, and what any stored fingerprint was
+    built from)."""
+    import hashlib
+    from apple_ocr_backend_spark.functions.text import fingerprint
+    long_text = "".join(chr(97 + (i * 7) % 26) for i in range(5000))
+    for text, max_chars in ((long_text, 4096), (long_text[:100], 4096),
+                            ("abc", 4096), (long_text, 64)):
+        prefix = text[:max_chars]
+        want = min(hashlib.md5(prefix[i:i + 8].encode()).hexdigest()
+                   for i in range(max(len(prefix) - 7, 1)))
+        got = (spark.createDataFrame([(text,)], ["text"])
+               .select(fingerprint(F.col("text"), 8, max_chars)
+                       .alias("fp")).first().fp)
+        assert got == want, (len(text), max_chars)
+
+
+def test_sample_stratified_empty_rates_uses_default(spark):
+    d = spark.range(0, 200).withColumnRenamed("id", "doc_id") \
+        .withColumn("lang", F.lit("xx"))
+    got = sample_stratified(d, {}, default_rate=1.0).collect()
+    assert all(r.sampled for r in got)
+    got0 = sample_stratified(d, {}, default_rate=0.0).collect()
+    assert not any(r.sampled for r in got0)
