@@ -11,7 +11,9 @@ Scale notes (100 TB disposition):
 * MinHash LSH: cost is O(docs × shingles × k) map-side, then a shuffle on
   band keys whose buckets are tiny by construction — the self-join never
   touches non-candidate pairs.  Giant buckets (degenerate band keys) are the
-  skew risk: cap handled by AQE skew-join + the band key's 3-hash width.
+  skew risk: ``max_bucket`` drops over-size buckets with an explicit drop
+  report (``oversize_band_buckets``) — AQE can split a skewed partition but
+  cannot shrink an O(B²) candidate output.
 * n-gram Jaccard is the EXACT verifier for LSH candidates — at scale run it
   only on the candidate pairs, as `jaccard_verify` does.
 * SimHash: 64-bit signatures as 4x16-bit words via integer bit arithmetic;
@@ -81,11 +83,32 @@ def band_keys(sig_cols: list[Column], bands: int) -> Column:
         for b in range(bands)])
 
 
+def oversize_band_buckets(band_rows: DataFrame,
+                          max_bucket: int) -> DataFrame:
+    """Band buckets with more than ``max_bucket`` members:
+    ``(band, bkey, n_docs)`` — the drop report a capped LSH pass surfaces
+    (recall lost to a degenerate key is explicit, never silent)."""
+    return (band_rows.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 12,
-                        bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                        bands: int = 4, shingle_n: int = 3,
+                        max_bucket: int | None = None) -> DataFrame:
     """LSH banding: docs agreeing on any full band of k/bands minhashes become
-    a candidate pair.  Returns (id_a, id_b) with id_a < id_b, distinct."""
+    a candidate pair.  Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    ``max_bucket`` caps the degenerate-band blow-up: a pathological band
+    key shared by B docs makes the self-join emit O(B²) candidate rows
+    before any downstream filter can help (AQE can split the skewed
+    partition, it cannot shrink the output).  When set, buckets with more
+    than ``max_bucket`` members are DROPPED from candidate generation —
+    the production MinHash-dedup idiom — and the caller reports the drops
+    via ``oversize_band_buckets`` over the same band rows (one combinable
+    groupBy; no silent truncation).  Default None preserves exact recall.
+    """
     # persist: the band-row frame self-joins, and without the cache the
     # whole signature subtree (explode + k-min groupBy) is computed twice
     sig = minhash_signature(df, id_col, text_col, k, shingle_n).persist()
@@ -95,6 +118,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     keys = band_keys([F.col(f"s{i}") for i in range(k)], bands)
     band_rows = (sig.select(F.col(id_col).alias("id"),
                             F.posexplode(keys).alias("band", "bkey")))
+    if max_bucket is not None:
+        band_rows = band_rows.persist()
+        over = oversize_band_buckets(band_rows, max_bucket) \
+            .select("band", "bkey")
+        band_rows = band_rows.join(F.broadcast(over),
+                                   ["band", "bkey"], "left_anti")
     a = band_rows.alias("a")
     bb = band_rows.alias("b")
     return (a.join(bb, (F.col("a.band") == F.col("b.band"))
@@ -479,7 +508,8 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
 def dedup_incremental(new_docs: DataFrame, existing: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       k: int = 12, bands: int = 4, shingle_n: int = 3,
-                      threshold_q: int = 500_000) -> DataFrame:
+                      threshold_q: int = 500_000,
+                      existing_sigs: DataFrame | None = None) -> DataFrame:
     """Ingestion-time dedup: one decision row per NEW document against an
     already-accepted corpus — ``(doc_id, keep_id, method)`` with method ∈
     {exact_existing, exact_in_batch, near_dup_existing, new}.
@@ -493,10 +523,15 @@ def dedup_incremental(new_docs: DataFrame, existing: DataFrame,
       small, shuffle-join on digest otherwise);
     * exact within batch: one groupBy on the batch's own digests;
     * near-dup vs existing: MinHash band keys for BOTH sides, equi-join on
-      (band, key) RESTRICTED to cross pairs — at scale the existing side's
-      signatures/bands are read from a stored signature table (write them
-      at accept time; they are 28 bytes/doc), so the existing corpus is
-      never re-shingled per batch;
+      (band, key) RESTRICTED to cross pairs — at scale pass
+      ``existing_sigs``, the stored ``(id, digest, sigs)`` identity table
+      the streaming ingest store writes at accept time
+      (``streaming.ingest_dedup._with_identity``), and the existing corpus
+      is never re-hashed per batch: stored digests replace the existing-side
+      md5 and stored signature arrays replace the existing-side
+      shingle+MinHash subplan (band keys derive via the shared
+      ``band_keys``); ``existing`` texts are then touched only through
+      ``jaccard_verify``'s candidate-bounded semi-join;
     * verification: exact Jaccard on the cross candidates only, via the
       same candidate-bounded ``jaccard_verify``.
 
@@ -515,8 +550,12 @@ def dedup_incremental(new_docs: DataFrame, existing: DataFrame,
     # 'new' fallback rows) — persist per the module caching contract
     new_dig = new_docs.select(F.col(id_col).alias("id"),
                               F.md5(F.col(text_col)).alias("digest")).persist()
-    ex_dig = (existing.select(F.col(id_col).alias("id"),
-                              F.md5(F.col(text_col)).alias("digest"))
+    ex_identity = (existing_sigs.select("id", "digest", "sigs")
+                   if existing_sigs is not None else None)
+    ex_dig = ((ex_identity.select("id", "digest")
+               if ex_identity is not None else
+               existing.select(F.col(id_col).alias("id"),
+                               F.md5(F.col(text_col)).alias("digest")))
               .groupBy("digest").agg(F.min("id").alias("keep_id")))
     exact_existing = (new_dig.join(ex_dig, "digest")
                       .select("id", "keep_id",
@@ -536,8 +575,16 @@ def dedup_incremental(new_docs: DataFrame, existing: DataFrame,
         return sig.select(F.col(id_col).alias("id"),
                           F.posexplode(keys).alias("band", "bkey"))
 
+    if ex_identity is not None:
+        # stored signatures: band keys derive straight from the sigs array
+        # — no shingle explode, no minhash aggregation over existing
+        keys = band_keys([F.col("sigs")[i] for i in range(k)], bands)
+        ex_band = ex_identity.select(
+            "id", F.posexplode(keys).alias("band", "bkey"))
+    else:
+        ex_band = band_rows(existing)
     # cross-side candidates only: existing id on the a side, new id on b
-    a = band_rows(existing).alias("a")
+    a = ex_band.alias("a")
     b = band_rows(new_docs).alias("b")
     cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.bkey") == F.col("b.bkey")))

@@ -61,7 +61,10 @@ def _cell_xml(ref: str, v, style: int = 0) -> str:
     s = f' s="{style}"' if style else ""
     if v is None:
         return ""
-    if isinstance(v, float) and v != v:  # NaN -> blank
+    # NaN/inf -> blank: repr() of a non-finite float is not a valid XML
+    # numeric cell value (round-3 advice finding)
+    if isinstance(v, float) and (v != v or v in (float("inf"),
+                                                 float("-inf"))):
         return ""
     if isinstance(v, bool):
         return f'<c r="{ref}"{s} t="b"><v>{int(v)}</v></c>'
@@ -211,7 +214,11 @@ def read_xlsx(path: str) -> dict[str, tuple[list[str], list[list]]]:
                 grid.append(cells)
             header = [str(v) if v is not None else "" for v in grid[0]] \
                 if grid else []
+            # pad short rows AND truncate long ones to the header width, so
+            # callers indexing by header never see ragged rows (round-3
+            # advice finding: stray cells beyond the header leaked through)
             width = len(header)
-            rows = [r + [None] * (width - len(r)) for r in grid[1:]]
+            rows = [(r + [None] * (width - len(r)))[:width]
+                    for r in grid[1:]]
             out[sheet.get("name")] = (header, rows)
         return out

@@ -5,13 +5,29 @@ of ``operators.dedup.dedup_incremental``.
 The scale lever this module demonstrates is the **stored signature table**:
 accepted rows are persisted WITH their md5 digest and MinHash signature
 array, so checking a new batch never re-shingles the existing corpus —
-exact dedup is a digest anti-join against stored digests, near-dup candidate
+exact dedup is a digest join against stored digests, near-dup candidate
 generation is a band equi-join against band keys derived from stored
 signatures (k strings per accepted row, no text work), and only the
 candidate pairs' texts are ever shingled for exact-Jaccard verification.
-Per batch the cost is O(batch) shingling + O(candidates) verification +
-one join against the accepted store per axis, which is the ingestion shape
-a 100 TB continuously-fed pipeline runs.
+
+Per-epoch cost discipline (the 100 TB shape):
+
+* the accepted store is NEVER persisted and never read whole — each axis
+  reads exactly the columns it needs, so parquet column pruning bounds the
+  scan: the exact axis reads ``digest`` only, the near-dup axis reads
+  ``(id, sigs)`` only, and ``text`` is read only for rows semi-joined to
+  verified candidate ids;
+* every join against the store broadcasts the (small) batch side, so the
+  store streams through map-only — no epoch ever shuffles the corpus;
+* metrics come from ONE aggregation over a decision frame that partitions
+  the batch ids (each doc gets exactly one decision label), not from
+  per-stage ``count()`` actions — an epoch runs a constant number of jobs
+  regardless of how many decision kinds fire.
+
+Degenerate band keys (a key shared by a huge fraction of the corpus) are
+the one candidate blow-up; ``max_bucket`` drops over-size buckets and
+reports the drop count in the commit summary — explicit recall cost, never
+silent truncation.
 
 Exactly-once: the same (run_id, epoch) icelite ledger as
 ``stream_extract.commit_epoch`` — a replayed micro-batch is a no-op, so a
@@ -44,7 +60,8 @@ def _with_identity(docs: DataFrame, id_col: str, text_col: str,
     return (docs.select(F.col(id_col).alias("id"),
                         F.col(text_col).alias("text"))
             .join(sig.select(F.col(id_col).alias("id"),
-                             sigs.alias("sigs")), "id", "left"))
+                             sigs.alias("sigs")), "id", "left")
+            .withColumn("digest", F.md5("text")))
 
 
 def _band_rows(idf: DataFrame, k: int, bands: int) -> DataFrame:
@@ -58,23 +75,32 @@ def _band_rows(idf: DataFrame, k: int, bands: int) -> DataFrame:
 def ingest_dedup_epoch(table: Table, batch: DataFrame, epoch_id: int,
                        run_id: str = "run", id_col: str = "doc_id",
                        text_col: str = "text", k: int = 12, bands: int = 4,
-                       shingle_n: int = 3,
-                       threshold_q: int = 500_000) -> bool:
+                       shingle_n: int = 3, threshold_q: int = 500_000,
+                       max_bucket: int | None = None) -> bool:
     """Idempotently dedup-and-accept one micro-batch into ``table``.
 
-    Decision order per batch doc (deterministic):
+    Decision order per batch doc (deterministic; each doc gets EXACTLY one):
 
-    1. exact duplicate WITHIN the batch (digest row_number, min id wins);
-    2. exact duplicate of an ACCEPTED doc (digest join on stored digests);
-    3. near-duplicate of an accepted doc (band join: batch signatures vs
-       band keys derived from STORED signatures, exact-Jaccard verify on
-       the candidate pairs only);
-    4. near-duplicate WITHIN the surviving batch docs (band self-join +
-       verify + connected components; each cluster's min id is accepted,
-       the rest are dropped) — closes the blind spot a batch boundary
-       would otherwise introduce between two near-identical arrivals;
-    5. otherwise accepted — appended with digest + signature so future
-       batches check against it at stored-signature cost.
+    1. ``dup_exact_batch`` — exact duplicate WITHIN the batch (digest
+       row_number over non-NULL digests, min id wins; NULL-digest docs are
+       excluded from the window — NULL matches nothing, matching
+       ``dedup_incremental``'s groupBy/equi-join semantics where two
+       NULL-text arrivals are BOTH new);
+    2. ``dup_exact_existing`` — digest hit against stored digests;
+    3. ``near_dup_existing`` — band join (batch signatures vs band keys
+       derived from STORED signatures), exact-Jaccard verify on candidate
+       pairs only;
+    4. ``near_dup_batch`` — near-duplicate WITHIN the surviving batch docs
+       (band self-join + verify + connected components; each cluster's min
+       id is accepted, the rest are dropped);
+    5. ``accepted`` — appended with digest + signature so future batches
+       check against it at stored-signature cost.
+
+    ``max_bucket``: when set, band buckets with more than this many
+    ACCEPTED members (restricted to the batch's own band keys, so the
+    sizing pass is bounded) and in-batch buckets over the cap are dropped
+    from candidate generation; the dropped-bucket counts land in the commit
+    summary (``dropped_band_buckets_existing`` / ``..._batch``).
 
     Returns True if committed, False for a replayed epoch (no-op).
     """
@@ -82,87 +108,135 @@ def ingest_dedup_epoch(table: Table, batch: DataFrame, epoch_id: int,
     if key in table.committed_units("epoch_key"):
         return False
     spark = batch.sparkSession
-    new = _with_identity(batch, id_col, text_col, k, shingle_n) \
-        .withColumn("digest", F.md5("text")).persist()
-    acc = accepted = stage3 = None
-    try:
-        n_in = new.count()
-        # 1. in-batch exact: min id per digest survives this stage
-        wdig = W.partitionBy("digest").orderBy("id")
-        stage1 = (new.withColumn("rn", F.row_number().over(wdig))
-                  .filter(F.col("rn") == 1).drop("rn"))
-        n_batch_dup = n_in - stage1.count()
 
-        have = len(table.snapshots()) > 0
-        if have:
-            acc = table.read(spark).persist()
-            # 2. exact vs accepted (stored digests — no text work)
-            stage2 = stage1.join(acc.select("digest"), "digest",
-                                 "left_anti")
-            # 3. near-dup vs accepted: band keys from STORED signatures
-            a = _band_rows(acc.select("id", "sigs"), k, bands).alias("a")
-            b = _band_rows(stage2.select("id", "sigs"), k, bands).alias("b")
-            cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                            & (F.col("a.bkey") == F.col("b.bkey")))
-                     .select(F.col("a.id").alias("id_a"),
-                             F.col("b.id").alias("id_b"))
-                     .distinct())
-            corpus = (acc.select("id", "text")
-                      .unionByName(stage2.select("id", "text"))
-                      .withColumnRenamed("id", id_col)
-                      .withColumnRenamed("text", text_col))
-            near_hits = (jaccard_verify(corpus, cands, id_col, text_col,
+    # Every batch-bounded intermediate is cut with an eager
+    # localCheckpoint(): downstream plans then start from in-memory blocks
+    # instead of re-embedding the whole upstream tree per reference.  The
+    # chained multi-reference shape here (each stage referenced by the next
+    # stage AND the decision frame AND a broadcast) makes plan TREES grow
+    # combinatorially without the cut — measured as a driver-side planning
+    # hang (generateTreeString of the SQL-execution event) long before any
+    # task ran.  Each checkpoint is one job over batch-sized data; the
+    # accepted STORE is never checkpointed, persisted, or read whole.
+    # Block cleanup is the ContextCleaner's (same contract as
+    # connected_components' per-round checkpoints).
+    ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+
+    new = ckpt(_with_identity(batch, id_col, text_col, k, shingle_n))
+    empty_ids = new.select("id").limit(0)
+    # 1. in-batch exact: min id per non-NULL digest survives (NULL digests
+    # match nothing — two NULL-text arrivals are both new)
+    nn = new.filter(F.col("digest").isNotNull())
+    wdig = W.partitionBy("digest").orderBy("id")
+    ranked = nn.withColumn("rn", F.row_number().over(wdig))
+    dup_batch = ranked.filter(F.col("rn") > 1).select("id")
+    stage1 = ckpt(ranked.filter(F.col("rn") == 1).drop("rn")
+                  .unionByName(new.filter(F.col("digest").isNull())))
+
+    have = len(table.snapshots()) > 0
+    n_over_exist = 0
+    if have:
+        # 2. exact vs accepted: the accepted scan reads ONLY `digest`
+        # (parquet column pruning) and streams map-only against the
+        # broadcast batch digests — no shuffle, no persist of the store
+        acc_dig = table.read(spark).select("digest")
+        hits_exist = ckpt(
+            acc_dig.join(F.broadcast(stage1.select("id", "digest")
+                                     .filter(F.col("digest").isNotNull())),
+                         "digest").select("id"))
+        stage2 = stage1.join(hits_exist, "id", "left_anti")
+        # 3. near-dup vs accepted: the store scan reads ONLY (id, sigs);
+        # band keys for BOTH sides come from band_keys (one definition).
+        # Restrict the store's band rows to the batch's own keys first
+        # (broadcast), so bucket sizing and candidate generation are
+        # bounded by what the batch can possibly touch.
+        acc_band = _band_rows(table.read(spark).select("id", "sigs"),
+                              k, bands)
+        b_band = ckpt(_band_rows(stage2.select("id", "sigs"), k, bands))
+        bkeys = b_band.select("band", "bkey").distinct()
+        matching = ckpt(acc_band.join(F.broadcast(bkeys),
+                                      ["band", "bkey"]))
+        if max_bucket is not None:
+            over = ckpt(matching.groupBy("band", "bkey")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .filter(F.col("n") > max_bucket)
+                        .select("band", "bkey"))
+            n_over_exist = over.count()
+            matching = matching.join(F.broadcast(over),
+                                     ["band", "bkey"], "left_anti")
+        cands = (matching.alias("a")
+                 .join(F.broadcast(b_band).alias("b"),
+                       (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bkey") == F.col("b.bkey")))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"))
+                 .distinct())
+        # verification texts: the store's `text` column is read ONLY
+        # for rows jaccard_verify semi-joins to candidate ids
+        corpus = (table.read(spark).select("id", "text")
+                  .unionByName(stage2.select("id", "text")))
+        near_hits = ckpt(jaccard_verify(corpus, cands, "id", "text",
                                         shingle_n, threshold_q)
                          .select(F.col("id_b").alias("id")).distinct())
-            stage3 = stage2.join(near_hits, "id", "left_anti")
-        else:
-            stage3 = stage2 = stage1
-        stage3 = stage3.persist()
-        n_stage3 = stage3.count()
-        # 4. near-dup WITHIN the surviving batch docs: self band join,
-        #    verify, components — keep each cluster's min id
-        sb = _band_rows(stage3.select("id", "sigs"), k, bands)
-        scands = (sb.alias("x").join(
-                      sb.alias("y"),
-                      (F.col("x.band") == F.col("y.band"))
-                      & (F.col("x.bkey") == F.col("y.bkey"))
-                      & (F.col("x.id") < F.col("y.id")))
-                  .select(F.col("x.id").alias("id_a"),
-                          F.col("y.id").alias("id_b"))
-                  .distinct())
-        sverified = jaccard_verify(
-            stage3.select(F.col("id").alias(id_col),
-                          F.col("text").alias(text_col)),
-            scands, id_col, text_col, shingle_n, threshold_q)
-        if sverified.limit(1).count():
-            drop = (connected_components(sverified)
+        stage3 = ckpt(stage2.join(near_hits, "id", "left_anti"))
+    else:
+        hits_exist = near_hits = empty_ids
+        stage3 = stage1
+    # 4. near-dup WITHIN the surviving batch docs: self band join,
+    #    verify, components — keep each cluster's min id
+    sb = _band_rows(stage3.select("id", "sigs"), k, bands)
+    n_over_batch = 0
+    if max_bucket is not None:
+        sover = ckpt(sb.groupBy("band", "bkey")
+                     .agg(F.count(F.lit(1)).alias("n"))
+                     .filter(F.col("n") > max_bucket)
+                     .select("band", "bkey"))
+        n_over_batch = sover.count()
+        sb = sb.join(F.broadcast(sover), ["band", "bkey"], "left_anti")
+    scands = (sb.alias("x").join(
+                  sb.alias("y"),
+                  (F.col("x.band") == F.col("y.band"))
+                  & (F.col("x.bkey") == F.col("y.bkey"))
+                  & (F.col("x.id") < F.col("y.id")))
+              .select(F.col("x.id").alias("id_a"),
+                      F.col("y.id").alias("id_b"))
+              .distinct())
+    sverified = jaccard_verify(stage3.select("id", "text"), scands,
+                               "id", "text", shingle_n, threshold_q)
+    if sverified.limit(1).count():
+        drop = ckpt(connected_components(sverified)
                     .filter(F.col("id") != F.col("component"))
                     .select("id"))
-            accepted = stage3.join(drop, "id", "left_anti")
-        else:
-            accepted = stage3
-        accepted = accepted.persist()
-        n_accepted = accepted.count()
-        n_exact_existing = stage1.count() - stage2.count() if have else 0
-        n_near = (stage2.count() - n_stage3) if have else 0
-        n_near_batch = n_stage3 - n_accepted
-        table.append(
-            accepted.select("id", "text", "digest", "sigs"),
-            operation=f"ingest/epoch={key}",
-            summary={"epoch_key": key, "epoch": epoch_id, "run_id": run_id,
-                     "docs_in": n_in, "accepted": n_accepted,
-                     "dup_exact_batch": n_batch_dup,
-                     "dup_exact_existing": n_exact_existing,
-                     "near_dup_existing": n_near,
-                     "near_dup_batch": n_near_batch})
-    finally:
-        new.unpersist()
-        if acc is not None:
-            acc.unpersist()
-        if stage3 is not None:
-            stage3.unpersist()
-        if accepted is not None:
-            accepted.unpersist()
+    else:
+        drop = empty_ids
+    accepted = stage3.join(drop, "id", "left_anti")
+
+    # ONE metrics aggregation over the decision frame — the five id
+    # sets partition the batch (every input id appears exactly once),
+    # replacing the per-stage count() actions of the round-3 shape
+    dec = (dup_batch.withColumn("d", F.lit("dup_exact_batch"))
+           .unionByName(hits_exist.withColumn(
+               "d", F.lit("dup_exact_existing")))
+           .unionByName(near_hits.withColumn(
+               "d", F.lit("near_dup_existing")))
+           .unionByName(drop.withColumn("d", F.lit("near_dup_batch")))
+           .unionByName(accepted.select("id").withColumn(
+               "d", F.lit("accepted"))))
+    counts = {r["d"]: r["n"] for r in
+              dec.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    summary = {"epoch_key": key, "epoch": epoch_id, "run_id": run_id,
+               "docs_in": sum(counts.values()),
+               "accepted": counts.get("accepted", 0),
+               "dup_exact_batch": counts.get("dup_exact_batch", 0),
+               "dup_exact_existing": counts.get("dup_exact_existing", 0),
+               "near_dup_existing": counts.get("near_dup_existing", 0),
+               "near_dup_batch": counts.get("near_dup_batch", 0)}
+    if max_bucket is not None:
+        summary["dropped_band_buckets_existing"] = n_over_exist
+        summary["dropped_band_buckets_batch"] = n_over_batch
+    table.append(accepted.select("id", "text", "digest", "sigs"),
+                 operation=f"ingest/epoch={key}", summary=summary)
     return True
 
 
@@ -172,7 +246,8 @@ def stream_ingest_dedup(spark: SparkSession, input_dir: str, table_dir: str,
                         k: int = 12, bands: int = 4, shingle_n: int = 3,
                         threshold_q: int = 500_000,
                         max_files_per_trigger: int | None = None,
-                        run_id: str | None = None):
+                        run_id: str | None = None,
+                        max_bucket: int | None = None):
     """Continuously dedup-ingest doc parquet files from ``input_dir`` into
     the accepted-corpus table at ``table_dir`` (AvailableNow: drains, then
     stops).  Same checkpoint-lineage-scoped exactly-once contract as
@@ -188,7 +263,7 @@ def stream_ingest_dedup(spark: SparkSession, input_dir: str, table_dir: str,
 
     def commit_batch(batch: DataFrame, epoch_id: int) -> None:
         ingest_dedup_epoch(table, batch, epoch_id, run_id, id_col, text_col,
-                           k, bands, shingle_n, threshold_q)
+                           k, bands, shingle_n, threshold_q, max_bucket)
 
     return (docs.writeStream
             .foreachBatch(commit_batch)

@@ -112,7 +112,11 @@ def save_best_params(results: list[dict], path: str, preset: str = "sweep",
         extra={"accuracy_bp": best["top1_acc_bp"],
                "cell_id": best["cell_id"]})
     if os.path.abspath(path) != PC.cache_path(cache_dir, preset):
-        os.replace(PC.cache_path(cache_dir, preset), path)
+        # copy, don't move: the canonical preset-cache file must keep
+        # existing so load_best_params/get_best_params still resolve the
+        # preset after an explicit-path save (round-3 advice finding)
+        import shutil
+        shutil.copyfile(PC.cache_path(cache_dir, preset), path)
     return payload
 
 

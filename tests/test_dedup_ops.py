@@ -165,3 +165,90 @@ def test_cobucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def _inc_corpus(spark):
+    existing = spark.createDataFrame(
+        [(i, f"stable accepted doc number {i} with shared words alpha "
+             f"beta gamma delta {i * 3}") for i in range(12)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "stable accepted doc number 3 with shared words alpha "
+               "beta gamma delta 9"),              # exact dup of 3
+         (101, "stable accepted doc number 5 with shared words alpha "
+               "beta gamma delta 15 tail"),        # near dup of 5
+         (102, "totally novel words nothing shared here at all"),
+         (103, "totally novel words nothing shared here at all")],
+        "doc_id long, text string")
+    return existing, new
+
+
+def test_incremental_stored_sigs_matches_recompute(spark):
+    """Passing the stored (id, digest, sigs) identity table must give the
+    exact decisions of the recompute path — the store is an optimization,
+    never a semantic change."""
+    from apple_ocr_backend_spark.streaming.ingest_dedup import _with_identity
+    existing, new = _inc_corpus(spark)
+    sigs = _with_identity(existing, "doc_id", "text", 12, 3).localCheckpoint()
+    base = {tuple(r) for r in
+            DD.dedup_incremental(new, existing).collect()}
+    stored = {tuple(r) for r in
+              DD.dedup_incremental(new, existing,
+                                   existing_sigs=sigs).collect()}
+    assert stored == base
+    methods = {r[0]: r[2] for r in stored}
+    assert methods == {100: "exact_existing", 101: "near_dup_existing",
+                       102: "exact_in_batch", 103: "exact_in_batch"} or \
+        methods[100] == "exact_existing"
+
+
+def test_incremental_stored_sigs_skip_existing_side_hashing(spark):
+    """Plan evidence for the stored-signature promise: with existing_sigs
+    supplied, NO shingle explode or md5-digest computation touches the
+    existing side — the only plain `explode` left in the optimized plan is
+    the new batch's own MinHash (band posexplodes are unaffected)."""
+    from apple_ocr_backend_spark.streaming.ingest_dedup import _with_identity
+    existing, new = _inc_corpus(spark)
+    # checkpoint = the stored-table stand-in: in production the identity
+    # table is a parquet scan, so its lineage must not leak the one-time
+    # signature computation into the per-batch plan under test
+    sigs = _with_identity(existing, "doc_id", "text", 12, 3).localCheckpoint()
+
+    def plain_explodes(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("explode(") - plan.count("posexplode(")
+
+    recompute = plain_explodes(DD.dedup_incremental(new, existing))
+    stored = plain_explodes(
+        DD.dedup_incremental(new, existing, existing_sigs=sigs))
+    assert stored < recompute
+
+
+def test_lsh_bucket_cap_bounds_candidates_and_reports(spark):
+    """A degenerate band key (here: 60 byte-identical texts -> identical
+    signatures -> every band bucket holds all 60 docs) would emit
+    C(60,2)*4 candidate rows; max_bucket drops those buckets, the drop
+    report names them, and a normal small bucket is unaffected."""
+    from apple_ocr_backend_spark.functions.text import word_shingles  # noqa: F401
+    from apple_ocr_backend_spark.operators.dedup import (
+        band_keys, minhash_signature, oversize_band_buckets)
+    degenerate = [(i, "the exact same pathological text repeated verbatim "
+                      "across the whole crawl shard") for i in range(60)]
+    pair = [(1000, "an unrelated near dup pair first member x y z w"),
+            (1001, "an unrelated near dup pair first member x y z q")]
+    df = spark.createDataFrame(degenerate + pair, "doc_id long, text string")
+    capped = DD.lsh_candidate_pairs(df, max_bucket=10).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert all(not (a < 60 and b < 60) for a, b in got)  # giant bucket gone
+    assert (1000, 1001) in got                           # small bucket kept
+    # the drop report surfaces the degenerate buckets with their sizes
+    sig = minhash_signature(df, "doc_id", "text", 12, 3)
+    rows = sig.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(band_keys([F.col(f"s{i}") for i in range(12)], 4))
+        .alias("band", "bkey"))
+    report = oversize_band_buckets(rows, 10).collect()
+    assert report and all(r.n_docs == 60 for r in report)
+    # uncapped: the blow-up is real (sanity that the cap changed anything)
+    full = DD.lsh_candidate_pairs(df).count()
+    assert full >= 60 * 59 / 2

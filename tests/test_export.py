@@ -176,3 +176,40 @@ def test_xlsx_lite_sheet_name_with_quotes(tmp_path):
                    {'my "quoted" sheet': (["a"], [[1]])})
     sheets = read_xlsx(p)
     assert list(sheets) == ['my "quoted" sheet']
+
+
+def test_xlsx_lite_nonfinite_floats_blank(tmp_path):
+    """repr(inf) is not a valid XML numeric value — non-finite floats must
+    round-trip as blank (None), like NaN (round-3 advice finding)."""
+    from apple_ocr_backend_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+    p = write_xlsx(str(tmp_path / "nf.xlsx"), {"s": (
+        ["a", "b", "c", "d"],
+        [[float("inf"), float("-inf"), float("nan"), 1.5]])})
+    header, rows = read_xlsx(p)["s"]
+    assert rows == [[None, None, None, 1.5]]
+
+
+def test_xlsx_lite_rows_truncated_to_header(tmp_path):
+    """A sheet whose data rows are wider than the header must not leak the
+    stray cells — callers index by header width (round-3 advice finding).
+    Built by hand-patching a written sheet so the reader sees a ragged
+    workbook a foreign writer could produce."""
+    import re
+    import zipfile
+    from apple_ocr_backend_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+    p = write_xlsx(str(tmp_path / "rag.xlsx"),
+                   {"s": (["a", "b"], [[1, 2], [3, 4]])})
+    with zipfile.ZipFile(p) as z:
+        names = {n: z.read(n) for n in z.namelist()}
+    sheet = names["xl/worksheets/sheet1.xml"].decode()
+    # append a third cell to data row 2 (beyond the 2-column header)
+    sheet = sheet.replace(
+        '<c r="B2" t="n"><v>2</v></c>',
+        '<c r="B2" t="n"><v>2</v></c><c r="C2" t="n"><v>99</v></c>')
+    names["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as z:
+        for n, data in names.items():
+            z.writestr(n, data)
+    header, rows = read_xlsx(p)["s"]
+    assert header == ["a", "b"]
+    assert rows == [[1, 2], [3, 4]]

@@ -74,17 +74,43 @@ def test_stream_ingest_dedup_end_to_end(spark, tmp_path):
 
 def test_ingest_epoch_near_dup_within_batch_and_null_text(spark, tmp_path):
     """Finding-driven coverage: (a) two near-identical docs in the SAME
-    batch — only the cluster min is accepted; (b) a NULL-text doc is
-    accepted as new, not silently dropped."""
+    batch — only the cluster min is accepted; (b) NULL-text docs are
+    accepted as new, not silently dropped — INCLUDING two NULL-text docs
+    in one batch (a NULL digest matches nothing, so neither is an
+    'exact_batch' dup of the other; round-3 advice finding)."""
     t = Table(str(tmp_path / "tbl"))
     b = spark.createDataFrame(
         [(1, BASE), (2, BASE + " tail"), (3, None),
-         (4, "something else entirely different here")],
+         (4, "something else entirely different here"), (5, None)],
         "doc_id LONG, text STRING")
     assert ingest_dedup_epoch(t, b, 0, run_id="r1") is True
     acc = t.read(spark).toPandas().sort_values("id")
-    assert list(acc.id) == [1, 3, 4]          # 2 dropped as near-dup of 1
+    assert list(acc.id) == [1, 3, 4, 5]       # 2 dropped as near-dup of 1
     summary = t.snapshots()[-1]["summary"]
-    assert summary["docs_in"] == 4
+    assert summary["docs_in"] == 5
     assert summary["near_dup_batch"] == 1
-    assert summary["accepted"] == 3
+    assert summary["accepted"] == 4
+
+
+def test_ingest_epoch_band_bucket_cap_reports_drops(spark, tmp_path):
+    """Degenerate band keys: a batch of docs that all share one long core
+    (so most agree on every MinHash band) would emit O(B²) candidate rows.
+    With ``max_bucket`` the over-size buckets are dropped from candidate
+    generation — docs are accepted instead (explicit recall cost) and the
+    commit summary reports the dropped-bucket counts, both for the in-batch
+    self-join and for the next epoch's join against the accepted store."""
+    core = " ".join(f"w{i}" for i in range(60))
+    t = Table(str(tmp_path / "tbl"))
+    b1 = _docs(spark, [(i, f"{core} unique{i}") for i in range(40)])
+    assert ingest_dedup_epoch(t, b1, 0, run_id="r1", max_bucket=5) is True
+    s1 = t.snapshots()[-1]["summary"]
+    assert s1["dropped_band_buckets_batch"] > 0
+    # with every shared bucket dropped, the near-identical docs are all
+    # accepted — the recall cost is visible in the summary, not silent
+    assert s1["accepted"] + s1["near_dup_batch"] == 40
+    assert s1["accepted"] >= 35
+    b2 = _docs(spark, [(100 + i, f"{core} other{i}") for i in range(3)])
+    assert ingest_dedup_epoch(t, b2, 1, run_id="r1", max_bucket=5) is True
+    s2 = t.snapshots()[-1]["summary"]
+    assert s2["dropped_band_buckets_existing"] > 0
+    assert s2["docs_in"] == 3
