@@ -157,3 +157,76 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                  .alias("session_end"),
                  F.sum(F.floor(F.col(val_col) * 100).cast("long"))
                  .alias("value_cents")))
+
+
+def sessionize_two_phase(events: DataFrame, gap_minutes: int = 30,
+                         bucket_minutes: int = 360,
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         id_col: str = "event_id",
+                         val_col: str = "value") -> DataFrame:
+    """Hot-entity-safe sessionization — identical output to ``sessionize``
+    with a bounded per-task slice for pathologically hot users.
+
+    ``sessionize``'s single window puts ALL of a user's events in one
+    sorted partition slice: a user with 10⁹ events serializes one task at
+    100 TB.  This variant runs two combinable passes:
+
+    1. pre-sessionize within ``(user, coarse time bucket)`` — the window
+       partition carries at most one bucket's events per user, so task
+       size is bounded by event rate × ``bucket_minutes``, not by a
+       user's lifetime;
+    2. merge boundary sessions: gaps-and-islands AGAIN over the (far
+       smaller) local-session rows per user — a local session merges into
+       its predecessor when its start is within the gap of the
+       predecessor's end.
+
+    Exactness: events are bucketed by their own timestamp, so each local
+    session lies inside one bucket and, per user, local sessions are
+    disjoint and time-ordered.  The first event of a bucket is the only
+    place a local gap decision differs from the global one, and for it the
+    phase-2 merge compares exactly the global quantities (its ts vs the
+    previous event's ts = the previous local session's end) — so the merge
+    decision equals the single-pass gap decision and the composed output
+    is equal row-for-row (pinned against the same DuckDB oracle as
+    ``sessionize``).  The phase-1 partition count per user ~ lifetime /
+    bucket, the phase-2 rows per user ~ session count — both bounded;
+    ``bucket_minutes`` is the task-size knob (same lever role as
+    ``pack_sequences``' ``n_shards``).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = (events
+         .withColumn("__us", us)
+         .withColumn("__bucket", F.floor(F.col("__us") / bucket_us)))
+    w1 = W.partitionBy(user_col, "__bucket").orderBy(ts_col, id_col)
+    gap = F.col("__us") - F.lag("__us").over(w1)
+    is_new = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    local = (e.withColumn("__new", is_new)
+             .withColumn("__ord", F.sum("__new").over(
+                 w1.rowsBetween(W.unboundedPreceding, 0)))
+             .groupBy(user_col, "__bucket", "__ord")
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.min(ts_col).alias("__start"),
+                  F.max(ts_col).alias("__end"),
+                  F.min("__us").alias("__start_us"),
+                  F.max("__us").alias("__end_us"),
+                  F.sum(F.floor(F.col(val_col) * 100).cast("long"))
+                  .alias("__cents")))
+    # per user, local-session starts are strictly increasing (sessions are
+    # disjoint intervals); bucket+ord complete the order deterministically
+    w2 = W.partitionBy(user_col).orderBy("__start_us", "__bucket", "__ord")
+    gap2 = F.col("__start_us") - F.lag("__end_us").over(w2)
+    new2 = F.when(gap2.isNull() | (gap2 > gap_us), 1).otherwise(0)
+    merged = (local.withColumn("__new2", new2)
+              .withColumn("session_ord", F.sum("__new2").over(
+                  w2.rowsBetween(W.unboundedPreceding, 0))))
+    return (merged.groupBy(user_col, "session_ord")
+            .agg(F.sum("__n").alias("n_events"),
+                 F.date_format(F.min("__start"),
+                               "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"),
+                 F.date_format(F.max("__end"),
+                               "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_end"),
+                 F.sum("__cents").alias("value_cents")))

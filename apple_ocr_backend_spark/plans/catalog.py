@@ -1703,7 +1703,7 @@ def _q_events_sessionize(spark, sf):
             .orderBy("user_id", "session_ord"))
 
 
-_register("events_sessionize", _q_events_sessionize, """
+_SESSIONIZE_SQL = """
 WITH gaps AS (
   SELECT user_id, ts, event_id, value,
          epoch_us(ts) - LAG(epoch_us(ts)) OVER (
@@ -1727,7 +1727,25 @@ SELECT user_id, CAST(session_ord AS BIGINT) AS session_ord,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM sess GROUP BY user_id, session_ord
-""")
+"""
+
+_register("events_sessionize", _q_events_sessionize, _SESSIONIZE_SQL)
+
+
+def _q_events_sessionize_salted(spark, sf):
+    """Hot-entity-safe sessionization: pre-sessionize within (user, coarse
+    time bucket), merge boundary sessions — bounded task size for a
+    10⁹-event user (operators/temporal.py::sessionize_two_phase).  Checked
+    against the SAME single-window oracle as events_sessionize: the
+    two-phase composition must be row-identical."""
+    from ..operators.temporal import sessionize_two_phase
+    e = T(spark, sf, "events")
+    return (sessionize_two_phase(e, gap_minutes=30, bucket_minutes=360)
+            .orderBy("user_id", "session_ord"))
+
+
+_register("events_sessionize_salted", _q_events_sessionize_salted,
+          _SESSIONIZE_SQL)
 
 
 def _q_length_quantiles(spark, sf):
@@ -1835,14 +1853,23 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # public surface                                                              #
 # =========================================================================== #
 
+# The driver snapshots per-entry correctness in dict iteration order; keep
+# the flagship composite and the newest entries at the FRONT so a truncated
+# or timed-out driver pass still covers them (round-3: training_mix — then
+# registered last — was the single catalog entry without a driver row).
+_FRONT = ["training_mix", "events_sessionize_salted"]
+
+
 def catalog() -> dict[str, dict]:
-    return dict(_Q)
+    names = ([n for n in _FRONT if n in _Q]
+             + [n for n in _Q if n not in _FRONT])
+    return {n: _Q[n] for n in names}
 
 
 def queries():
-    return {name: entry["spark"] for name, entry in _Q.items()}
+    return {name: entry["spark"] for name, entry in catalog().items()}
 
 
 def oracle_sql():
-    return {name: entry["oracle"] for name, entry in _Q.items()
+    return {name: entry["oracle"] for name, entry in catalog().items()
             if entry["oracle"] is not None}

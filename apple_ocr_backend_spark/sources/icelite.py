@@ -32,6 +32,17 @@ from pyspark.sql import DataFrame, SparkSession
 _SNAP_RE = re.compile(r"^v(\d+)\.json$")
 
 
+def _plain(v):
+    """JSON-representable manifest stat value; temporal types become ISO
+    strings (ISO-8601 compares lexicographically, so range pruning on them
+    still works with string bounds)."""
+    import datetime
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) \
+            else v.isoformat()
+    return v
+
+
 class Table:
     def __init__(self, path: str):
         self.path = path
@@ -68,13 +79,31 @@ class Table:
     # ------------------------------------------------------------------ #
     def append(self, df: DataFrame, operation: str = "append",
                summary: dict | None = None,
-               lineage: list[dict] | None = None) -> int:
-        """Write df as a new data dir + commit a snapshot. Returns snapshot id."""
+               lineage: list[dict] | None = None,
+               stats_col: str | None = None) -> int:
+        """Write df as a new data dir + commit a snapshot. Returns snapshot id.
+
+        ``stats_col`` records the min/max of that column over the written
+        data dir in the snapshot manifest (Iceberg's per-file column stats
+        analog, at data-dir granularity): readers with a range predicate
+        then skip whole committed dirs without opening them
+        (``read(between=...)`` / ``data_dirs``).  The stats scan reads the
+        freshly written files once, column-pruned to one column.  Values
+        must be JSON-representable; timestamps/dates are stored as ISO
+        strings (pass ISO strings as the predicate bounds for those)."""
         data_name = f"{uuid.uuid4().hex}"
         staging = os.path.join(self.path, "_staging", data_name)
         df.write.mode("overwrite").parquet(staging)
         final = os.path.join(self.path, "data", data_name)
         os.rename(staging, final)  # atomic on one filesystem
+        stats = None
+        if stats_col is not None:
+            from pyspark.sql import functions as F
+            row = (df.sparkSession.read.parquet(final)
+                   .agg(F.min(stats_col).alias("mn"),
+                        F.max(stats_col).alias("mx")).first())
+            stats = {"column": stats_col,
+                     "min": _plain(row["mn"]), "max": _plain(row["mx"])}
 
         with self._commit_lock:
             parent = self.last_snapshot()
@@ -103,6 +132,8 @@ class Table:
                 "summary": summary or {},
                 "lineage": lineage or [],
             }
+            if stats is not None:
+                snap["stats"] = stats
             tmp = os.path.join(self.path, "_staging",
                                f"snap_{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
@@ -113,8 +144,30 @@ class Table:
             return sid
 
     # ------------------------------------------------------------------ #
-    def read(self, spark: SparkSession,
-             merge_schema: bool = False) -> DataFrame | None:
+    def data_dirs(self, between: tuple | None = None) -> list[str]:
+        """Committed data dirs, optionally pruned by manifest stats.
+
+        ``between=(col, lo, hi)`` skips every dir whose recorded
+        [min, max] for ``col`` cannot intersect [lo, hi] — including
+        all-NULL dirs (a NULL never satisfies a range predicate).  Dirs
+        committed without stats for ``col`` are always kept (pruning is
+        conservative; the caller still applies the row filter)."""
+        dirs = []
+        for s in self.snapshots():
+            if between is not None:
+                st = s.get("stats")
+                if st and st.get("column") == between[0]:
+                    lo, hi = between[1], between[2]
+                    mn, mx = st.get("min"), st.get("max")
+                    if mn is None and mx is None:
+                        continue
+                    if mx < lo or mn > hi:
+                        continue
+            dirs.extend(os.path.join(self.path, d) for d in s["data_dirs"])
+        return dirs
+
+    def read(self, spark: SparkSession, merge_schema: bool = False,
+             between: tuple | None = None) -> DataFrame | None:
         """Union of the committed snapshot chain's data dirs.
 
         ``merge_schema=True`` is the legacy-row tolerance path (reference:
@@ -122,9 +175,13 @@ class Table:
         ``app/routers/serials.py:249-263``): snapshots written before a
         column existed surface it as NULL instead of failing the read —
         the same imperative-migration tolerance Iceberg gives via schema
-        evolution."""
-        dirs = [os.path.join(self.path, d)
-                for s in self.snapshots() for d in s["data_dirs"]]
+        evolution.
+
+        ``between=(col, lo, hi)`` prunes whole data dirs by the manifest
+        stats recorded at append time (see ``data_dirs``) — the file-
+        skipping Iceberg does from its manifests; the caller still applies
+        the row-level filter."""
+        dirs = self.data_dirs(between)
         if not dirs:
             return None
         reader = spark.read

@@ -184,3 +184,32 @@ def test_append_refuses_to_resurrect_orphan_snapshot(spark, tmp_path):
     t.vacuum(min_age_sec=0)
     assert t.append(spark.range(1).toDF("x"), summary={"unit": 1}) == 2
     assert t.read(spark).count() == 5
+
+
+def test_manifest_stats_prune_files_on_range_read(spark, tmp_path):
+    """Iceberg file-skipping analog: appends recording min/max of a column
+    let a range read skip whole committed dirs (strictly fewer dirs
+    opened), while chain semantics — the unpredicated read — are
+    unchanged."""
+    from apple_ocr_backend_spark.sources.icelite import Table
+    t = Table(str(tmp_path / "tbl"))
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 50).selectExpr(
+            "id AS x", "CAST(id AS STRING) AS payload")
+        t.append(df, stats_col="x")
+    # stats landed in the manifest
+    assert t.snapshots()[0]["stats"] == {"column": "x", "min": 0, "max": 49}
+    # predicate read opens strictly fewer dirs ...
+    all_dirs = t.data_dirs()
+    hit_dirs = t.data_dirs(between=("x", 110, 130))
+    assert len(all_dirs) == 3 and len(hit_dirs) == 1
+    # ... and still returns every matching row (caller applies the filter)
+    got = sorted(r.x for r in t.read(spark, between=("x", 110, 130))
+                 .filter("x BETWEEN 110 AND 130").collect())
+    assert got == list(range(110, 131))
+    # chain semantics unchanged: full read sees all three appends
+    assert t.read(spark).count() == 150
+    # a dir committed WITHOUT stats is never pruned (conservative)
+    t.append(spark.range(1).selectExpr("id AS x",
+                                       "CAST(id AS STRING) AS payload"))
+    assert len(t.data_dirs(between=("x", 110, 130))) == 2

@@ -16,7 +16,7 @@ from pyspark.sql import Row, functions as F
 from apple_ocr_backend_spark.operators.sampling import (
     pack_sequences, rate_to_hex, sample_stratified, split_assign)
 from apple_ocr_backend_spark.operators.temporal import (
-    asof_join, asof_join_events, sessionize)
+    asof_join, asof_join_events, sessionize, sessionize_two_phase)
 from apple_ocr_backend_spark.operators.dedup import dedup_incremental
 from apple_ocr_backend_spark.functions.text import (
     mask_pii, pii_counts, top_bigram_frac_q, top_token_frac_q)
@@ -99,6 +99,38 @@ def test_sessionize_gap_boundaries(spark):
     assert [(r.user_id, r.session_ord, r.n_events) for r in got] == [
         (1, 1, 2), (1, 2, 1), (2, 1, 1)]
     assert got[2].value_cents == 250
+
+
+def test_sessionize_two_phase_matches_single_phase_hot_user(spark):
+    """The hot-entity variant must be row-identical to the single-window
+    form — exercised on a skewed corpus: one hot user with a long dense
+    event stream crossing MANY coarse buckets (including sessions that
+    straddle bucket boundaries and singleton sessions), plus normal
+    users.  bucket_minutes far below the hot user's lifetime forces real
+    phase-2 merging."""
+    rows = []
+    eid = 0
+    # hot user 1: 400 events, alternating dense runs and > gap jumps, so
+    # sessions repeatedly straddle the 120-minute buckets
+    t = 0.0
+    for i in range(400):
+        eid += 1
+        rows.append(Row(event_id=eid, user_id=1, ts=_t(t),
+                        event_type="view", value=float(i % 7) / 3))
+        t += 50.0 if i % 9 == 8 else 7.0   # 50 > 30-min gap -> new session
+    # normal users
+    for u in (2, 3):
+        for i in range(5):
+            eid += 1
+            rows.append(Row(event_id=eid, user_id=u, ts=_t(i * 40.0),
+                            event_type="view", value=1.25))
+    df = spark.createDataFrame(rows)
+    one = sessionize(df, gap_minutes=30).orderBy(
+        "user_id", "session_ord").collect()
+    two = sessionize_two_phase(df, gap_minutes=30, bucket_minutes=120) \
+        .orderBy("user_id", "session_ord").collect()
+    assert [tuple(r) for r in two] == [tuple(r) for r in one]
+    assert len(one) > 40  # the hot user really produced many sessions
 
 
 # --------------------------------------------------------------------------- #
