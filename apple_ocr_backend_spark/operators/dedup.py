@@ -469,6 +469,19 @@ def _qsum(prods: Column) -> Column:
         F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def norm_sq_q(vec: Column) -> Column:
+    """Floor-quantized squared norm of a float array — the per-VECTOR half
+    of the cosine, computed once per row (map-side) so pairwise scoring
+    never refolds it per pair."""
+    return _qsum(F.transform(vec, lambda x: x.cast("double") * x.cast("double")))
+
+
+def cosine_from_parts(dot_q: Column, aa_q: Column, bb_q: Column,
+                      scale: int = 1_000_000) -> Column:
+    denom = F.sqrt(aa_q.cast("double") * bb_q.cast("double"))
+    return F.floor(dot_q.cast("double") / denom * scale).cast("long")
+
+
 def cosine_q(a: Column, b: Column, scale: int = 1_000_000) -> Column:
     """floor-quantized cosine of two float arrays.
 
@@ -476,12 +489,14 @@ def cosine_q(a: Column, b: Column, scale: int = 1_000_000) -> Column:
     summing, so the value is independent of fold order and bit-identical in
     any engine (the DuckDB oracle replays the same formula).  The final
     division/sqrt are single double ops on exact integers — deterministic.
+
+    For pairwise scoring over a join, precompute ``norm_sq_q`` per side and
+    combine with ``cosine_from_parts`` — this closed form refolds BOTH
+    norms per pair, which at P candidate pairs costs 2·P·dim extra lambda
+    evaluations (measured 3-6x slowdown on the cell-restricted dedup join).
     """
     dot_q = _qsum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
-    aa_q = _qsum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
-    bb_q = _qsum(F.transform(b, lambda x: x.cast("double") * x.cast("double")))
-    denom = F.sqrt(aa_q.cast("double") * bb_q.cast("double"))
-    return F.floor(dot_q.cast("double") / denom * scale).cast("long")
+    return cosine_from_parts(dot_q, norm_sq_q(a), norm_sq_q(b), scale)
 
 
 def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
@@ -489,14 +504,22 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                         threshold_q: int = 950_000) -> DataFrame:
     """Near-duplicate vectors: cosine >= threshold within the same coarse
     cell (IVF-style — the equi-join on the cell id is the scale lever; a
-    full cross join never happens)."""
+    full cross join never happens).  Each side carries its precomputed
+    quantized squared norm through the join (O(n·dim) map-side), so the
+    per-pair work is ONE dot-product fold instead of three — same value
+    bit-for-bit (the quantized norm is a pure function of the vector)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                   F.col(cell_col).alias("cell"))
+                   F.col(cell_col).alias("cell"),
+                   norm_sq_q(F.col(vec_col)).alias("na"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                   F.col(cell_col).alias("cell"))
+                   F.col(cell_col).alias("cell"),
+                   norm_sq_q(F.col(vec_col)).alias("nb"))
+    dot_q = _qsum(F.zip_with(F.col("va"), F.col("vb"),
+                             lambda x, y: x.cast("double") * y.cast("double")))
     return (a.join(b, "cell")
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos_q", cosine_q(F.col("va"), F.col("vb")))
+            .withColumn("cos_q", cosine_from_parts(dot_q, F.col("na"),
+                                                   F.col("nb")))
             .filter(F.col("cos_q") >= threshold_q)
             .select("cell", "id_a", "id_b", "cos_q"))
 

@@ -17,7 +17,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from .dedup import cosine_q
+from .dedup import _qsum, cosine_from_parts, norm_sq_q
+
+
+def _pair_cos_q():
+    """Quantized cosine for a scored (query, neighbor) join row, combining
+    the per-side norms PRECOMPUTED before the join (``__qn``/``__nn``) with
+    one dot-product fold — the closed-form ``dedup.cosine_q`` refolds both
+    norms per pair, a measured 3-6x tax at candidate-set scale."""
+    dot_q = _qsum(F.zip_with(F.col("q_vec"), F.col("n_vec"),
+                             lambda x, y: x.cast("double") * y.cast("double")))
+    return cosine_from_parts(dot_q, F.col("__qn"), F.col("__nn"))
 
 
 def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
@@ -26,10 +36,12 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
     The query set is broadcast — no shuffle of the big side."""
     q = (emb.filter(F.col(id_col) < n_queries)
-         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")))
-    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                 norm_sq_q(F.col(vec_col)).alias("__qn")))
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+                   norm_sq_q(F.col(vec_col)).alias("__nn"))
     scored = (c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
-              .withColumn("cos_q", cosine_q(F.col("q_vec"), F.col("n_vec"))))
+              .withColumn("cos_q", _pair_cos_q()))
     w = W.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -43,12 +55,14 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     scored (nprobe=1).  One broadcast equi-join on the cell id."""
     q = (emb.filter(F.col(id_col) < n_queries)
          .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-                 F.col(cell_col).alias("cell")))
+                 F.col(cell_col).alias("cell"),
+                 norm_sq_q(F.col(vec_col)).alias("__qn")))
     c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-                   F.col(cell_col).alias("cell"))
+                   F.col(cell_col).alias("cell"),
+                   norm_sq_q(F.col(vec_col)).alias("__nn"))
     scored = (c.join(F.broadcast(q), "cell")
               .filter(F.col("n_id") != F.col("q_id"))
-              .withColumn("cos_q", cosine_q(F.col("q_vec"), F.col("n_vec"))))
+              .withColumn("cos_q", _pair_cos_q()))
     w = W.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -198,13 +212,15 @@ def ivf_topk_nprobe(emb_cells: DataFrame, cent, nprobe: int = 2,
             for c in range(len(cent))])), 1, nprobe)
     q = (q0.select(F.col(id_col).alias("q_id"),
                    F.col(vec_col).alias("q_vec"),
+                   norm_sq_q(F.col(vec_col)).alias("__qn"),
                    F.explode(probes).alias("p"))
-         .select("q_id", "q_vec", F.col("p.c").alias(cell_col)))
+         .select("q_id", "q_vec", "__qn", F.col("p.c").alias(cell_col)))
     c = emb_cells.select(F.col(id_col).alias("n_id"),
-                         F.col(vec_col).alias("n_vec"), cell_col)
+                         F.col(vec_col).alias("n_vec"),
+                         norm_sq_q(F.col(vec_col)).alias("__nn"), cell_col)
     scored = (c.join(F.broadcast(q), cell_col)
               .filter(F.col("n_id") != F.col("q_id"))
-              .withColumn("cos_q", cosine_q(F.col("q_vec"), F.col("n_vec"))))
+              .withColumn("cos_q", _pair_cos_q()))
     w = W.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -247,12 +263,12 @@ def lsh_bucket_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     e = emb.join(b, emb[id_col] == b["id"]).drop("id")
     q = (e.filter(F.col(id_col) < n_queries)
          .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-                 "bucket"))
+                 "bucket", norm_sq_q(F.col(vec_col)).alias("__qn")))
     c = e.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-                 "bucket")
+                 "bucket", norm_sq_q(F.col(vec_col)).alias("__nn"))
     scored = (c.join(F.broadcast(q), "bucket")
               .filter(F.col("n_id") != F.col("q_id"))
-              .withColumn("cos_q", cosine_q(F.col("q_vec"), F.col("n_vec"))))
+              .withColumn("cos_q", _pair_cos_q()))
     w = W.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

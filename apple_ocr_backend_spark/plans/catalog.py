@@ -1659,6 +1659,31 @@ SELECT doc_id, keep_id, method FROM ranked WHERE rn = 1
 _register("dedup_incremental", _q_dedup_incremental, _incremental_sql())
 
 
+def _q_dedup_incremental_stored(spark, sf):
+    """The stored-signature form of dedup_incremental: the existing side's
+    (id, digest, sigs) identity table — the shape the streaming ingest
+    store writes at accept time — replaces all existing-side hashing
+    (operators/dedup.py::dedup_incremental(existing_sigs=...)).  Pinned to
+    the SAME oracle as dedup_incremental: the store is an optimization,
+    never a semantic change.  The checkpoint stands in for the store's
+    parquet scan (the one-time signature build must not leak into the
+    per-batch plan)."""
+    from ..streaming.ingest_dedup import _with_identity
+    corpus = _dup_corpus(spark, sf).filter((F.col("doc_id") % 100000) < 150)
+    existing = corpus.filter(F.col("doc_id") < 100000)
+    newb = corpus.filter(F.col("doc_id") >= 100000)
+    sigs = _with_identity(existing, "doc_id", "text", 12, 3) \
+        .localCheckpoint()
+    return (DD.dedup_incremental(newb, existing, "doc_id", "text",
+                                 k=12, bands=4, threshold_q=500_000,
+                                 existing_sigs=sigs)
+            .orderBy("doc_id"))
+
+
+_register("dedup_incremental_stored", _q_dedup_incremental_stored,
+          _incremental_sql())
+
+
 def _q_events_asof(spark, sf):
     """As-of join (no Spark built-in): for each purchase, the most recent
     strictly-prior signup of the same user — one window shuffle, no range
@@ -1857,7 +1882,8 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # the flagship composite and the newest entries at the FRONT so a truncated
 # or timed-out driver pass still covers them (round-3: training_mix — then
 # registered last — was the single catalog entry without a driver row).
-_FRONT = ["training_mix", "events_sessionize_salted"]
+_FRONT = ["training_mix", "events_sessionize_salted",
+          "dedup_incremental_stored"]
 
 
 def catalog() -> dict[str, dict]:

@@ -232,6 +232,116 @@ def dedup_mode() -> None:
         spark.stop()
 
 
+def catalog_mode() -> None:
+    """Steal-annotated FULL-catalog pin (round-3 verdict #7): every catalog
+    entry at SF_DIR, best of 2 cache-cleared runs, with the per-run
+    hypervisor steal ticks beside each number so a slow entry is
+    attributable to host oversubscription rather than guessed at.  Appends
+    the table to BENCH.md and prints one JSON line."""
+    from apple_ocr_backend_spark.plans.catalog import queries
+    spark = make_spark(f"local[{CPUS}]")
+    try:
+        sys.path.insert(0, REPO)
+        rows = []
+        for name, fn in queries().items():
+            iters = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                s0 = _steal_ticks()
+                t0 = time.time()
+                run_noop(fn(spark, SF_DIR))
+                dt = round(time.time() - t0, 3)
+                s1 = _steal_ticks()
+                st = (s1 - s0) if s0 is not None and s1 is not None else None
+                iters.append((dt, st))
+            best = min(iters, key=lambda x: x[0])
+            rows.append({"query": name, "sec": best[0], "steal": best[1],
+                         "iters": iters})
+    finally:
+        spark.stop()
+    total = round(sum(r["sec"] for r in rows), 3)
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            "\n## Full-catalog pin (steal-annotated)\n\n"
+            f"All {len(rows)} catalog entries at `{SF_DIR}`, "
+            f"local[{CPUS}], best of 2 cache-cleared runs; the steal "
+            "column is the hypervisor steal-tick delta (/proc/stat) "
+            "during the reported run — a nonzero-steal number measures "
+            "the host, not the plan.\n\n"
+            "| query | sec | steal ticks | both iters (sec, steal) |\n"
+            "|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['query']} | {r['sec']} | {r['steal']} | "
+                    f"{r['iters']} |\n")
+        f.write(f"\nTotal (best-run sum): {total} s.\n")
+    print(json.dumps({"n_queries": len(rows), "total_sec": total,
+                      "rows": rows}))
+
+
+def session_skew_mode() -> None:
+    """Hot-entity sessionization study: one user with ~2M events (vs the
+    sf corpus's normal users).  Single-window sessionize serializes that
+    user into one task; sessionize_two_phase bounds the slice by the
+    coarse bucket.  Appends results to BENCH.md."""
+    import statistics
+    from pyspark.sql import functions as F
+    from apple_ocr_backend_spark.operators.temporal import (
+        sessionize, sessionize_two_phase)
+    n_hot = int(os.environ.get("SPARK_GRAFT_HOT_EVENTS", "2000000"))
+    spark = make_spark(f"local[{CPUS}]")
+    try:
+        sys.path.insert(0, REPO)
+        base = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+                .select("event_id", "user_id", "ts", "value"))
+        # hot user -1: 10 s cadence with an hour jump every 200 events ->
+        # ~10k real sessions spread over ~7 months of coarse buckets
+        hot = (spark.range(n_hot).select(
+            (F.lit(10_000_000) + F.col("id")).alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("id") * 10
+                + F.floor(F.col("id") / 200) * 3600).alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value")))
+        ev = base.unionByName(hot).localCheckpoint()
+        n = ev.count()
+        res = {}
+        for label, fn in (
+                ("single_window", lambda d: sessionize(d, 30)),
+                ("two_phase",
+                 lambda d: sessionize_two_phase(d, 30, bucket_minutes=360))):
+            run_noop(fn(ev))  # warmup
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                run_noop(fn(ev))
+                times.append(round(time.time() - t0, 2))
+            res[label] = {"iters": times,
+                          "median": statistics.median(times)}
+        report = {"n_events": n, "hot_events": n_hot, **res,
+                  "speedup": round(res["single_window"]["median"]
+                                   / res["two_phase"]["median"], 2)}
+        with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+            f.write(
+                "\n## Hot-entity sessionization (two-phase vs single "
+                "window)\n\n"
+                f"Corpus: {n} events incl. ONE user with {n_hot} events "
+                f"(~10k true sessions), local[{CPUS}], median of 3 after "
+                "warmup.  The single window sorts the hot user in one "
+                "task; the two-phase form pre-sessionizes per (user, 6h "
+                "bucket) and merges boundary sessions (row-identical "
+                "output — same DuckDB oracle + skew parity test).\n\n"
+                f"- single window: {res['single_window']['iters']} s "
+                f"(median {res['single_window']['median']})\n"
+                f"- two-phase:     {res['two_phase']['iters']} s "
+                f"(median {res['two_phase']['median']})\n"
+                f"- **speedup {report['speedup']}x** — and the two-phase "
+                "task bound is what matters at 10^9-event entities, where "
+                "the single window simply cannot finish.\n")
+        print(json.dumps(report))
+    finally:
+        spark.stop()
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     """Representative catalog queries (relational core + training-data ops)."""
     from apple_ocr_backend_spark.plans.catalog import queries
@@ -246,7 +356,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              # round-3 training-pipeline entries
              "sample_split", "pack_sequences", "quality_repetition",
              "pii_mask", "dedup_incremental", "events_asof",
-             "events_sessionize", "training_mix", "length_quantiles"]
+             "events_sessionize", "events_sessionize_salted",
+             "training_mix", "length_quantiles"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in
@@ -578,6 +689,12 @@ def main() -> None:
         return
     if "--dedup" in sys.argv:
         dedup_mode()
+        return
+    if "--catalog" in sys.argv:
+        catalog_mode()
+        return
+    if "--session-skew" in sys.argv:
+        session_skew_mode()
         return
     r = single_run(f"local[{CPUS}]", extraction_only=False)
     qtimes = dict(r["queries"])

@@ -21,7 +21,8 @@ DEFAULT = [
     "text_stats", "history_page", "history_keyset", "ann_ivf_fitted",
     "ann_ivf_nprobe", "dedup_simhash", "sample_split", "pack_sequences",
     "quality_repetition", "pii_mask", "events_asof", "events_sessionize",
-    "dedup_incremental", "training_mix", "length_quantiles",
+    "events_sessionize_salted", "dedup_incremental", "training_mix",
+    "length_quantiles",
 ]
 
 
