@@ -18,6 +18,20 @@ from pyspark.sql import Column, functions as F
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
+# Per-language stopword tables for the multi-language ID (argmax of
+# stopword ratios).  Deliberately small, high-frequency function words —
+# the n-gram-free heuristic a 100 TB first-pass language router uses
+# before anything model-based; shared literally with the DuckDB oracle.
+STOPWORDS = {
+    "en": EN_STOPWORDS,
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+           "zu", "den"),
+    "fr": ("le", "les", "et", "est", "une", "des", "du", "dans",
+           "pour", "vous"),
+    "es": ("el", "los", "las", "es", "una", "por", "con", "para",
+           "del", "como"),
+}
+
 
 def tokens(text: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")

@@ -213,6 +213,41 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame,
             .select("id_a", "id_b", "jaccard_q"))
 
 
+def benchmark_overlap(corpus: DataFrame, benchmark: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      shingle_n: int = 3) -> DataFrame:
+    """Decontamination check: for every corpus doc, how many of its
+    distinct word n-gram shingles appear ANYWHERE in the benchmark set —
+    the train/test-contamination scan every training-data pipeline runs
+    before a model sees the corpus.  Returns ``(doc_id, n_doc_shingles,
+    n_hits, overlap_q)`` for docs with at least one hit.
+
+    Scale shape: the benchmark's distinct shingle set is small (eval sets
+    are thousands of docs, not billions) and is broadcast; the corpus side
+    is one shingle explode + a broadcast semi-ish inner join + one
+    map-side-combinable groupBy — the corpus never shuffles except by its
+    own doc id for the final count.  A 100 TB corpus scans once.
+    """
+    bench_sh = (benchmark
+                .select(F.explode(word_shingles(F.col(text_col), shingle_n))
+                        .alias("shingle"))
+                .distinct())
+    corpus_sh = (corpus.select(F.col(id_col).alias("id"),
+                               F.explode(word_shingles(F.col(text_col),
+                                                       shingle_n))
+                               .alias("shingle"))
+                 .dropDuplicates(["id", "shingle"]))
+    sizes = corpus_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_doc"))
+    hits = (corpus_sh.join(F.broadcast(bench_sh), "shingle")
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (hits.join(sizes, "id")
+            .select(F.col("id").alias(id_col),
+                    F.col("n_doc").alias("n_doc_shingles"),
+                    "n_hits",
+                    F.floor(F.col("n_hits") / F.col("n_doc") * 1_000_000)
+                    .cast("long").alias("overlap_q")))
+
+
 # --------------------------------------------------------------------------- #
 # Dedup group resolution: candidate pairs -> connected components -> keep-list
 # --------------------------------------------------------------------------- #

@@ -1802,6 +1802,106 @@ FROM documents GROUP BY lang
 """)
 
 
+def _q_lang_id_multi(spark, sf):
+    """Multi-language ID (en/de/fr/es) by argmax of per-language stopword
+    ratios, reported as a confusion matrix against the table's true lang
+    column.  One explode (4 candidate rows/doc, each scoring ONE token
+    pass — the word table is projected as an attribute before the filter
+    lambda so nothing re-evaluates per element), one window shuffle on
+    doc_id, one combinable groupBy."""
+    langs = sorted(TX.STOPWORDS)
+    d = T(spark, sf, "documents")
+    wmap = F.create_map(*[x for lg in langs
+                          for x in (F.lit(lg),
+                                    F.array(*[F.lit(s)
+                                              for s in TX.STOPWORDS[lg]]))])
+    rows = (d.select("doc_id", "lang", "text",
+                     F.explode(F.array(*[F.lit(lg) for lg in langs]))
+                     .alias("cand"))
+            .select("doc_id", "lang", "text", "cand",
+                    F.element_at(wmap, F.col("cand")).alias("__w")))
+    toks = TX.tokens(F.col("text"))
+    score = F.floor(
+        F.size(F.filter(toks, lambda t: F.array_contains(F.col("__w"), t)))
+        / F.size(toks) * 1_000_000).cast("long")
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    picked = (rows.withColumn("score", score)
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1))
+    return (picked.groupBy("lang", F.col("cand").alias("predicted"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang", "predicted"))
+
+
+def _lang_id_multi_sql() -> str:
+    vals = ", ".join(
+        "('{lg}', [{ws}])".format(
+            lg=lg, ws=", ".join(f"'{s}'" for s in TX.STOPWORDS[lg]))
+        for lg in sorted(TX.STOPWORDS))
+    return f"""
+WITH langs(cand, words) AS (VALUES {vals}),
+rows AS (
+  SELECT d.doc_id, d.lang, l.cand, l.words,
+         string_split(trim(regexp_replace(d.text, '\\s+', ' ', 'g')), ' ')
+           AS tk
+  FROM documents d CROSS JOIN langs l
+),
+scored AS (
+  SELECT doc_id, lang, cand,
+         CAST(FLOOR(len(list_filter(tk, t -> list_contains(words, t)))
+                    / len(tk) * 1000000) AS BIGINT) AS score
+  FROM rows
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+  FROM scored
+)
+SELECT lang, cand AS predicted, COUNT(*) AS n_docs
+FROM ranked WHERE rn = 1 GROUP BY lang, cand
+"""
+
+
+_register("lang_id_multi", _q_lang_id_multi, _lang_id_multi_sql())
+
+
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination: per corpus doc, the count and share of
+    its distinct 3-word shingles that appear anywhere in the benchmark
+    set (here: every 97th doc stands in for an eval set).  The benchmark
+    shingle set is broadcast; the corpus scans once
+    (operators/dedup.py::benchmark_overlap)."""
+    d = T(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return DD.benchmark_overlap(corpus, bench).orderBy("doc_id")
+
+
+_register("decontaminate", _q_decontaminate, """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 FOR i IN range(1, GREATEST(len(tk)-2, 1) + 1)]) AS shingle
+  FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 97 != 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_doc FROM corp GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hits
+  FROM corp c JOIN bench b USING (shingle) GROUP BY c.doc_id
+)
+SELECT h.doc_id, s.n_doc AS n_doc_shingles, h.n_hits,
+       CAST(FLOOR(h.n_hits / s.n_doc * 1000000) AS BIGINT) AS overlap_q
+FROM hits h JOIN sizes s USING (doc_id)
+""")
+
+
 def _q_training_mix(spark, sf):
     """END-TO-END training-data assembly — the composite the individual
     round-3 entries exist for: quality gate -> deterministic stratified
@@ -1883,7 +1983,7 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # or timed-out driver pass still covers them (round-3: training_mix — then
 # registered last — was the single catalog entry without a driver row).
 _FRONT = ["training_mix", "events_sessionize_salted",
-          "dedup_incremental_stored"]
+          "dedup_incremental_stored", "lang_id_multi", "decontaminate"]
 
 
 def catalog() -> dict[str, dict]:

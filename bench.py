@@ -357,7 +357,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "sample_split", "pack_sequences", "quality_repetition",
              "pii_mask", "dedup_incremental", "events_asof",
              "events_sessionize", "events_sessionize_salted",
-             "training_mix", "length_quantiles"]
+             "training_mix", "length_quantiles", "lang_id_multi",
+             "decontaminate"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in
@@ -471,6 +472,36 @@ def scaling_mode() -> None:
               "scaling_efficiency": eff}
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(render_bench_md(report))
+    print(json.dumps(report))
+
+
+def scaling_pair_mode() -> None:
+    """Fresh N→4N evidence for the current round WITHOUT rewriting
+    BENCH.md (--scaling regenerates the whole file; this appends one
+    section): fused extraction at local[2] and local[8] on the identical
+    replicated corpus, fresh JVM per master, per-iteration steal ticks."""
+    reps = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
+    pts = {m: child(f"local[{m}]", extraction_only=True, replicate=reps,
+                    modes="fused") for m in (2, 8)}
+    d2 = pts[2]["docs_per_sec_fused"]
+    d8 = pts[8]["docs_per_sec_fused"]
+    eff = round((d8 / d2) / 4, 3)
+    report = {"n_docs": pts[8]["n_docs"], "replicate": reps,
+              "local2": pts[2], "local8": pts[8], "eff_2to8": eff}
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            "\n## Round-4 N→4N re-pin (fused, local[2]→local[8])\n\n"
+            f"Same protocol as the headline table ({report['n_docs']} "
+            "docs, fresh JVM per master, warmup + median of 3, cache "
+            "cleared per iteration), re-measured on the round-4 code:\n\n"
+            "| master | docs/s | iters (s) | steal ticks/iter |\n"
+            "|---|---|---|---|\n"
+            f"| local[2] | {d2} | {pts[2]['iters_fused']} | "
+            f"{pts[2]['steal_fused']} |\n"
+            f"| local[8] | {d8} | {pts[8]['iters_fused']} | "
+            f"{pts[8]['steal_fused']} |\n\n"
+            f"Scaling efficiency 2→8 = **{eff}** "
+            "(north-rule target ≥ 0.8).\n")
     print(json.dumps(report))
 
 
@@ -680,6 +711,9 @@ def main() -> None:
         return
     if "--scaling-large" in sys.argv:
         scaling_large_mode()
+        return
+    if "--scaling-pair" in sys.argv:
+        scaling_pair_mode()
         return
     if "--memory" in sys.argv:
         memory_mode()

@@ -252,3 +252,19 @@ def test_lsh_bucket_cap_bounds_candidates_and_reports(spark):
     # uncapped: the blow-up is real (sanity that the cap changed anything)
     full = DD.lsh_candidate_pairs(df).count()
     assert full >= 60 * 59 / 2
+
+
+def test_benchmark_overlap_counts(spark):
+    """Hand-checked decontamination: doc 10 shares exactly the benchmark
+    doc's shingles for its overlapping half; a disjoint doc emits no row."""
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta unrelated tail words here"),
+         (11, "completely disjoint content nothing shared at all")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_doc_shingles, r.n_hits, r.overlap_q)
+           for r in DD.benchmark_overlap(corpus, bench).collect()}
+    # doc 10: 6 distinct 3-shingles, 2 of them ("alpha beta gamma",
+    # "beta gamma delta") appear in the benchmark doc's shingle set
+    assert got == {10: (6, 2, 333333)}
