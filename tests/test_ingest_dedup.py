@@ -114,3 +114,18 @@ def test_ingest_epoch_band_bucket_cap_reports_drops(spark, tmp_path):
     s2 = t.snapshots()[-1]["summary"]
     assert s2["dropped_band_buckets_existing"] > 0
     assert s2["docs_in"] == 3
+
+
+def test_ingest_epoch_empty_batch_commits_ledger(spark, tmp_path):
+    """A stream can deliver an EMPTY micro-batch; the epoch must still
+    commit its ledger row (exactly-once bookkeeping) without corrupting
+    the store, and a replay stays a no-op."""
+    t = Table(str(tmp_path / "tbl"))
+    assert ingest_dedup_epoch(t, _docs(spark, [(1, BASE)]), 0,
+                              run_id="r1") is True
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert ingest_dedup_epoch(t, empty, 1, run_id="r1") is True
+    s = t.snapshots()[-1]["summary"]
+    assert s["docs_in"] == 0 and s["accepted"] == 0
+    assert ingest_dedup_epoch(t, empty, 1, run_id="r1") is False
+    assert [r.id for r in t.read(spark).select("id").collect()] == [1]

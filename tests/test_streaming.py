@@ -218,3 +218,47 @@ def test_stream_recreated_checkpoint_same_path_not_swallowed(spark, tmp_path):
     # the reprocess COMMITS (duplication is Spark's documented fresh-
     # checkpoint semantics; silence was the bug)
     assert t.read(spark).count() == 2 * n1
+
+
+def test_stream_session_windows_finalize_on_watermark(spark, tmp_path):
+    """Built-in session_window streaming surface: append mode emits each
+    session exactly once when the watermark passes its close.  Batch 'a'
+    carries the real events plus a far-future clock event; processing
+    batch 'b' (a later clock) advances the watermark and flushes every
+    'a' session.  The emitted rows must equal the BATCH session_agg of
+    the flushed events — the batch plan is the oracle."""
+    import datetime as dt
+    import os
+    from pyspark.sql import Row
+    from apple_ocr_backend_spark.streaming.session_windows import (
+        session_agg, stream_sessionize)
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minutes, value):
+        return Row(event_id=eid, user_id=uid,
+                   ts=t0 + dt.timedelta(minutes=minutes), value=value)
+
+    real = [ev(1, 1, 0.0, 1.0), ev(2, 1, 10.0, 2.5),   # session 1 of user 1
+            ev(3, 1, 60.0, 4.0),                        # session 2 of user 1
+            ev(4, 2, 5.0, 3.0)]                         # user 2
+    clock1 = [ev(100, 999, 600.0, 0.0)]
+    clock2 = [ev(101, 999, 1200.0, 0.0)]
+    ddl = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(real + clock1).coalesce(1) \
+        .write.parquet(os.path.join(in_dir, "a"))
+    spark.createDataFrame(clock2).coalesce(1) \
+        .write.parquet(os.path.join(in_dir, "b"))
+    q = stream_sessionize(spark, in_dir + "/*", ddl,
+                          str(tmp_path / "ckpt"), gap_minutes=30,
+                          query_name="sess_t", max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("sess_t").collect()}
+    # oracle: batch session_agg over everything flushed by the final
+    # watermark (the 'a' events incl. clock1; clock2's session is still
+    # open when the stream drains)
+    want = {tuple(r) for r in
+            session_agg(spark.createDataFrame(real + clock1), 30).collect()}
+    assert got == want
+    assert len(got) == 4  # u1 x2, u2 x1, clock1 x1

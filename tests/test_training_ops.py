@@ -345,3 +345,30 @@ def test_sample_stratified_empty_rates_uses_default(spark):
     assert all(r.sampled for r in got)
     got0 = sample_stratified(d, {}, default_rate=0.0).collect()
     assert not any(r.sampled for r in got0)
+
+
+def test_sessionize_two_phase_randomized_parity(spark):
+    """Randomized guard for the two-phase == single-window theorem: many
+    deterministic pseudo-random event layouts (varying users, jitter,
+    gap-straddling offsets), both forms must agree row-for-row — the
+    boundary-merge argument has no untested branch left to regress."""
+    import hashlib
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"sess{i}".encode()).hexdigest()[:8], 16)
+
+    rows, eid, t = [], 0, 0.0
+    for i in range(600):
+        eid += 1
+        u = h(i) % 7
+        # jumps chosen around the 30-min gap and the 90-min bucket edges
+        t += (h(i + 1000) % 9) * [0.2, 5.0, 29.9, 30.0, 30.1, 31.0,
+                                  89.0, 90.0, 91.0][h(i + 2000) % 9] / 8
+        rows.append(Row(event_id=eid, user_id=u, ts=_t(t),
+                        event_type="view", value=float(h(i + 3000) % 50)))
+    df = spark.createDataFrame(rows)
+    one = sessionize(df, gap_minutes=30).orderBy(
+        "user_id", "session_ord").collect()
+    two = sessionize_two_phase(df, gap_minutes=30, bucket_minutes=90) \
+        .orderBy("user_id", "session_ord").collect()
+    assert [tuple(r) for r in two] == [tuple(r) for r in one]
