@@ -129,3 +129,39 @@ def test_ingest_epoch_empty_batch_commits_ledger(spark, tmp_path):
     assert s["docs_in"] == 0 and s["accepted"] == 0
     assert ingest_dedup_epoch(t, empty, 1, run_id="r1") is False
     assert [r.id for r in t.read(spark).select("id").collect()] == [1]
+
+
+def test_ingest_epoch_decisions_match_dedup_incremental(spark, tmp_path):
+    """The streaming epoch and the batch operator implement the SAME
+    decision semantics (the epoch adds only the within-batch near-dup
+    pass): for a batch with every shared decision kind, the epoch's
+    accepted set must equal dedup_incremental's 'new' docs, and the
+    per-kind counts must line up with the batch method labels."""
+    from apple_ocr_backend_spark.operators.dedup import dedup_incremental
+    existing_rows = [(i, f"accepted corpus doc {i} alpha beta gamma {i * 3}")
+                     for i in range(8)]
+    batch_rows = [
+        (100, "accepted corpus doc 2 alpha beta gamma 6"),     # exact existing
+        (101, "accepted corpus doc 5 alpha beta gamma 15 x"),  # near existing
+        (102, "wholly new content qq ww ee rr tt yy"),
+        (103, "wholly new content qq ww ee rr tt yy"),         # in-batch exact
+        (104, "another novel document with unshared words"),
+    ]
+    existing = _docs(spark, existing_rows)
+    batch = _docs(spark, batch_rows)
+    inc = {r.doc_id: r.method
+           for r in dedup_incremental(batch, existing).collect()}
+
+    t = Table(str(tmp_path / "tbl"))
+    assert ingest_dedup_epoch(t, existing, 0, run_id="r1") is True
+    assert ingest_dedup_epoch(t, batch, 1, run_id="r1") is True
+    accepted = {r.id for r in t.read(spark).select("id").collect()
+                if r.id >= 100}
+    s = t.snapshots()[-1]["summary"]
+    assert accepted == {i for i, m in inc.items() if m == "new"}
+    assert s["dup_exact_existing"] == sum(
+        m == "exact_existing" for m in inc.values())
+    assert s["dup_exact_batch"] == sum(
+        m == "exact_in_batch" for m in inc.values())
+    assert s["near_dup_existing"] == sum(
+        m == "near_dup_existing" for m in inc.values())
