@@ -80,7 +80,9 @@ class Table:
     def append(self, df: DataFrame, operation: str = "append",
                summary: dict | None = None,
                lineage: list[dict] | None = None,
-               stats_col: str | None = None) -> int:
+               stats_col: str | None = None,
+               compacts_chain: bool = False,
+               expect_parent: int | None = None) -> int:
         """Write df as a new data dir + commit a snapshot. Returns snapshot id.
 
         ``stats_col`` records the min/max of that column over the written
@@ -90,7 +92,14 @@ class Table:
         (``read(between=...)`` / ``data_dirs``).  The stats scan reads the
         freshly written files once, column-pruned to one column.  Values
         must be JSON-representable; timestamps/dates are stored as ISO
-        strings (pass ISO strings as the predicate bounds for those)."""
+        strings (pass ISO strings as the predicate bounds for those).
+
+        ``expect_parent`` is an optimistic-concurrency precondition
+        (Iceberg's snapshot CAS): the commit is refused if the current
+        last snapshot id differs — required by read-modify-write commits
+        like ``compact`` whose input resolved against a specific base.
+        ``compacts_chain`` marks the snapshot as holding the FULL table
+        state, so readers start from it (see ``_active_snapshots``)."""
         data_name = f"{uuid.uuid4().hex}"
         staging = os.path.join(self.path, "_staging", data_name)
         df.write.mode("overwrite").parquet(staging)
@@ -107,6 +116,14 @@ class Table:
 
         with self._commit_lock:
             parent = self.last_snapshot()
+            if expect_parent is not None and \
+                    (parent["snapshot_id"] if parent else None) \
+                    != expect_parent:
+                # the written data dir becomes an orphan; vacuum() GCs it
+                raise RuntimeError(
+                    f"commit conflict: expected parent {expect_parent}, "
+                    f"found {parent['snapshot_id'] if parent else None} — "
+                    "re-read and retry")
             sid = (parent["snapshot_id"] + 1) if parent else 1
             # an orphan snapshot file beyond the chain break (e.g. a v5
             # whose v4 was removed) would be RESURRECTED into committed
@@ -134,6 +151,8 @@ class Table:
             }
             if stats is not None:
                 snap["stats"] = stats
+            if compacts_chain:
+                snap["compacts_chain"] = True
             tmp = os.path.join(self.path, "_staging",
                                f"snap_{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
@@ -144,8 +163,18 @@ class Table:
             return sid
 
     # ------------------------------------------------------------------ #
+    def _active_snapshots(self) -> list[dict]:
+        """The snapshot suffix a reader needs: everything from the LATEST
+        compacting snapshot (whose data dir holds the full table state as
+        of its commit) onward; the whole chain when never compacted."""
+        chain = self.snapshots()
+        for i in range(len(chain) - 1, -1, -1):
+            if chain[i].get("compacts_chain"):
+                return chain[i:]
+        return chain
+
     def data_dirs(self, between: tuple | None = None) -> list[str]:
-        """Committed data dirs, optionally pruned by manifest stats.
+        """Active data dirs, optionally pruned by manifest stats.
 
         ``between=(col, lo, hi)`` skips every dir whose recorded
         [min, max] for ``col`` cannot intersect [lo, hi] — including
@@ -153,7 +182,7 @@ class Table:
         committed without stats for ``col`` are always kept (pruning is
         conservative; the caller still applies the row filter)."""
         dirs = []
-        for s in self.snapshots():
+        for s in self._active_snapshots():
             if between is not None:
                 st = s.get("stats")
                 if st and st.get("column") == between[0]:
@@ -165,6 +194,37 @@ class Table:
                         continue
             dirs.extend(os.path.join(self.path, d) for d in s["data_dirs"])
         return dirs
+
+    def compact(self, spark: SparkSession,
+                stats_col: str | None = None) -> int | None:
+        """Rewrite the table's current state into ONE data dir and commit a
+        compacting snapshot (Iceberg's rewrite-data-files analog).
+
+        An append-per-micro-batch store (e.g. the streaming ingest-dedup
+        corpus) accumulates one dir per epoch; after 10⁴ epochs every
+        read unions 10⁴ parquet paths.  Compaction bounds that READ
+        fan-in: readers start from the latest compacting snapshot, so
+        ``data_dirs()`` is one dir plus post-compaction appends.  History
+        is retained (prior snapshots stay in the chain for lineage /
+        ``committed_units``; their dirs remain referenced, so ``vacuum``
+        keeps them — like Iceberg, storage is reclaimed only by snapshot
+        expiration, which this layer deliberately does not implement
+        because the chain's consecutive ids ARE its commit integrity).
+
+        Returns the new snapshot id, or None for an empty table.  Raises
+        on a concurrent commit between the base read and the compacting
+        commit (``expect_parent`` CAS) — re-run to retry; the orphaned
+        rewrite dir is vacuumable."""
+        base = self.last_snapshot()
+        if base is None:
+            return None
+        df = self.read(spark)
+        n_before = len(self.data_dirs())
+        return self.append(
+            df, operation="compact",
+            summary={"compacted_dirs": n_before},
+            stats_col=stats_col, compacts_chain=True,
+            expect_parent=base["snapshot_id"])
 
     def read(self, spark: SparkSession, merge_schema: bool = False,
              between: tuple | None = None) -> DataFrame | None:

@@ -213,3 +213,49 @@ def test_manifest_stats_prune_files_on_range_read(spark, tmp_path):
     t.append(spark.range(1).selectExpr("id AS x",
                                        "CAST(id AS STRING) AS payload"))
     assert len(t.data_dirs(between=("x", 110, 130))) == 2
+
+
+def test_compact_bounds_read_fanin_and_keeps_ledger(spark, tmp_path):
+    """An append-per-epoch store accumulates one data dir per commit;
+    compact() rewrites the state into ONE dir and readers start there —
+    bounded read fan-in, identical contents, ledger (committed_units)
+    preserved across the compaction, appends continue normally after."""
+    from apple_ocr_backend_spark.sources.icelite import Table
+    t = Table(str(tmp_path / "tbl"))
+    for i, lo in enumerate((0, 50, 100, 150, 200)):
+        t.append(spark.range(lo, lo + 50).selectExpr("id AS x"),
+                 summary={"epoch_key": f"r/{i}"})
+    assert len(t.data_dirs()) == 5
+    before = sorted(r.x for r in t.read(spark).collect())
+    sid = t.compact(spark, stats_col="x")
+    assert sid == 6
+    assert len(t.data_dirs()) == 1
+    assert sorted(r.x for r in t.read(spark).collect()) == before
+    # manifest stats recorded on the compacted dir -> pruning still works
+    assert t.snapshots()[-1]["stats"] == {"column": "x", "min": 0,
+                                          "max": 249}
+    assert t.data_dirs(between=("x", 1000, 2000)) == []
+    # exactly-once ledger survives (all pre-compaction epochs visible)
+    assert t.committed_units("epoch_key") == {f"r/{i}" for i in range(5)}
+    t.append(spark.range(250, 260).selectExpr("id AS x"))
+    assert len(t.data_dirs()) == 2
+    assert t.read(spark).count() == 260
+
+
+def test_append_expect_parent_cas(spark, tmp_path):
+    """Optimistic-concurrency commits: an append conditioned on a stale
+    parent is REFUSED (no snapshot, no visible rows), and its orphaned
+    data dir is vacuumable."""
+    from apple_ocr_backend_spark.sources.icelite import Table
+    t = Table(str(tmp_path / "tbl"))
+    t.append(spark.range(5).selectExpr("id AS x"))
+    base = t.last_snapshot()["snapshot_id"]
+    t.append(spark.range(5, 10).selectExpr("id AS x"))
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        t.append(spark.range(10, 15).selectExpr("id AS x"),
+                 expect_parent=base)
+    assert t.read(spark).count() == 10          # refused rows invisible
+    assert len(t.snapshots()) == 2
+    removed = t.vacuum(min_age_sec=0.0)
+    assert len(removed["data"]) == 1            # the orphaned rewrite dir
+    assert t.read(spark).count() == 10
