@@ -247,11 +247,20 @@ def stream_ingest_dedup(spark: SparkSession, input_dir: str, table_dir: str,
                         threshold_q: int = 500_000,
                         max_files_per_trigger: int | None = None,
                         run_id: str | None = None,
-                        max_bucket: int | None = None):
+                        max_bucket: int | None = None,
+                        compact_every: int | None = None):
     """Continuously dedup-ingest doc parquet files from ``input_dir`` into
     the accepted-corpus table at ``table_dir`` (AvailableNow: drains, then
     stops).  Same checkpoint-lineage-scoped exactly-once contract as
-    ``stream_extract``."""
+    ``stream_extract``.
+
+    ``compact_every``: every N *committed* epochs, rewrite the accepted
+    store into one data dir (``Table.compact``) — without it an
+    epoch-per-dir store makes every axis scan union one parquet path per
+    epoch ever committed; with it the read fan-in stays bounded by N.
+    Safe here because foreachBatch serializes the single writer (the
+    compaction CAS would refuse a racing commit anyway), and idempotent
+    across replays (a replayed epoch is a no-op and skips compaction)."""
     from .stream_extract import _checkpoint_run_id
     table = Table(table_dir)
     if run_id is None:
@@ -260,10 +269,17 @@ def stream_ingest_dedup(spark: SparkSession, input_dir: str, table_dir: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_dir)
+    committed = 0
 
     def commit_batch(batch: DataFrame, epoch_id: int) -> None:
-        ingest_dedup_epoch(table, batch, epoch_id, run_id, id_col, text_col,
-                           k, bands, shingle_n, threshold_q, max_bucket)
+        nonlocal committed
+        did = ingest_dedup_epoch(table, batch, epoch_id, run_id, id_col,
+                                 text_col, k, bands, shingle_n, threshold_q,
+                                 max_bucket)
+        if did:
+            committed += 1
+            if compact_every and committed % compact_every == 0:
+                table.compact(spark)
 
     return (docs.writeStream
             .foreachBatch(commit_batch)

@@ -165,3 +165,36 @@ def test_ingest_epoch_decisions_match_dedup_incremental(spark, tmp_path):
         m == "exact_in_batch" for m in inc.values())
     assert s["near_dup_existing"] == sum(
         m == "near_dup_existing" for m in inc.values())
+
+
+def test_stream_ingest_compaction_bounds_dirs(spark, tmp_path):
+    """compact_every keeps the accepted store's read fan-in bounded while
+    epochs accumulate — results identical to the uncompacted run."""
+    in_dir = str(tmp_path / "in")
+    batches = [
+        [(1, BASE), (2, "second doc entirely different words")],
+        [(10, BASE), (11, "third novel document content")],
+        [(20, "fourth novel piece of writing"), (21, BASE)],
+        [(30, "fifth and final new arrival")],
+    ]
+    for i, rows in enumerate(batches):
+        _docs(spark, rows).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"b{i}"))
+    q = stream_ingest_dedup(spark, in_dir + "/*", str(tmp_path / "tbl"),
+                            str(tmp_path / "ckpt"), DDL,
+                            max_files_per_trigger=1, compact_every=2)
+    q.awaitTermination(180)
+    t = Table(str(tmp_path / "tbl"))
+    got = sorted(r.id for r in t.read(spark).select("id").collect())
+    assert got == [1, 2, 11, 20, 30]   # 10 and 21 are exact dups of 1
+    # 4 epoch commits + 2 compactions = 6 snapshots; readers see the
+    # post-compaction suffix only (1 compacted dir + <=2 epoch dirs)
+    assert len(t.snapshots()) == 6
+    assert len(t.data_dirs()) <= 3
+    # the exactly-once ledger survives compaction: replay drains to no-op
+    q2 = stream_ingest_dedup(spark, in_dir + "/*", str(tmp_path / "tbl"),
+                             str(tmp_path / "ckpt2"), DDL,
+                             run_id=t.snapshots()[0]["summary"]["run_id"],
+                             max_files_per_trigger=1, compact_every=2)
+    q2.awaitTermination(180)
+    assert sorted(r.id for r in t.read(spark).select("id").collect()) == got
