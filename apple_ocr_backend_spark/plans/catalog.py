@@ -1902,6 +1902,60 @@ FROM hits h JOIN sizes s USING (doc_id)
 """)
 
 
+def _q_vocab_topk(spark, sf):
+    """Vocabulary induction: corpus-wide token frequency table, top 200 by
+    count with a deterministic token tie-break — the first step of any
+    tokenizer build.  Plan: explode → map-side-combinable count →
+    TakeOrderedAndProject (no full sort, no driver collect); at 100 TB
+    the only shuffle carries one row per distinct token."""
+    d = T(spark, sf, "documents")
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    return (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("tok")).limit(200))
+
+
+_register("vocab_topk", _q_vocab_topk, """
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS tok
+  FROM documents
+)
+SELECT tok, COUNT(*) AS n FROM toks
+GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 200
+""")
+
+
+def _q_rolling_active_users(spark, sf):
+    """Exact trailing-7-day distinct active users per day.  Window frames
+    cannot express COUNT(DISTINCT), so the plan is the classic
+    decomposition: distinct (day, user) pairs, then a bounded range join
+    against the (tiny, broadcast) day spine — each pair lands in at most
+    7 day rows — and one count-distinct aggregation."""
+    e = T(spark, sf, "events")
+    du = (e.select(F.to_date("ts").alias("day"), "user_id").distinct())
+    days = du.select("day").distinct()
+    j = (du.alias("u").join(
+        F.broadcast(days.alias("d")),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))))
+    return (j.groupBy(F.col("d.day").alias("d_day"))
+            .agg(F.countDistinct("u.user_id").alias("active_users_7d"))
+            .select(F.date_format("d_day", "yyyy-MM-dd").alias("day"),
+                    "active_users_7d")
+            .orderBy("day"))
+
+
+_register("rolling_active_users", _q_rolling_active_users, """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT u.user_id) AS active_users_7d
+FROM days d JOIN du u
+  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+""")
+
+
 def _q_training_mix(spark, sf):
     """END-TO-END training-data assembly — the composite the individual
     round-3 entries exist for: quality gate -> deterministic stratified
@@ -1983,7 +2037,8 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # or timed-out driver pass still covers them (round-3: training_mix — then
 # registered last — was the single catalog entry without a driver row).
 _FRONT = ["training_mix", "events_sessionize_salted",
-          "dedup_incremental_stored", "lang_id_multi", "decontaminate"]
+          "dedup_incremental_stored", "lang_id_multi", "decontaminate",
+          "vocab_topk", "rolling_active_users"]
 
 
 def catalog() -> dict[str, dict]:

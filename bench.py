@@ -358,7 +358,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "pii_mask", "dedup_incremental", "events_asof",
              "events_sessionize", "events_sessionize_salted",
              "training_mix", "length_quantiles", "lang_id_multi",
-             "decontaminate"]
+             "decontaminate", "vocab_topk", "rolling_active_users"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in
