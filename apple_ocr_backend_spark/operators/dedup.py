@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from ..functions.text import word_shingles
+from ..functions.text import tokens as _text_tokens, word_shingles
 
 
 # --------------------------------------------------------------------------- #
@@ -227,15 +227,24 @@ def benchmark_overlap(corpus: DataFrame, benchmark: DataFrame,
     is one shingle explode + a broadcast semi-ish inner join + one
     map-side-combinable groupBy — the corpus never shuffles except by its
     own doc id for the final count.  A 100 TB corpus scans once.
+
+    Docs with fewer than ``shingle_n`` tokens are excluded from BOTH sides:
+    ``word_shingles`` emits one PARTIAL shingle for them (concat_ws skips
+    the null pads), which is not an n-gram and would let a 2-word doc
+    "contaminate" on a 2-word prefix match (round-4 advice: the DuckDB
+    oracle's list comprehension yields NULL for the same window, so the
+    two engines diverged exactly on these rows).
     """
-    bench_sh = (benchmark
+    full = F.size(_text_tokens(F.col(text_col))) >= shingle_n
+    bench_sh = (benchmark.filter(full)
                 .select(F.explode(word_shingles(F.col(text_col), shingle_n))
                         .alias("shingle"))
                 .distinct())
-    corpus_sh = (corpus.select(F.col(id_col).alias("id"),
-                               F.explode(word_shingles(F.col(text_col),
-                                                       shingle_n))
-                               .alias("shingle"))
+    corpus_sh = (corpus.filter(full)
+                 .select(F.col(id_col).alias("id"),
+                         F.explode(word_shingles(F.col(text_col),
+                                                 shingle_n))
+                         .alias("shingle"))
                  .dropDuplicates(["id", "shingle"]))
     sizes = corpus_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_doc"))
     hits = (corpus_sh.join(F.broadcast(bench_sh), "shingle")

@@ -1887,7 +1887,7 @@ sh AS (
   SELECT DISTINCT doc_id,
          unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                  FOR i IN range(1, GREATEST(len(tk)-2, 1) + 1)]) AS shingle
-  FROM toks
+  FROM toks WHERE len(tk) >= 3
 ),
 bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
 corp AS (SELECT * FROM sh WHERE doc_id % 97 != 0),

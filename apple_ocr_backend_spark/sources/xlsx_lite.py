@@ -216,8 +216,11 @@ def read_xlsx(path: str) -> dict[str, tuple[list[str], list[list]]]:
                 if grid else []
             # pad short rows AND truncate long ones to the header width, so
             # callers indexing by header never see ragged rows (round-3
-            # advice finding: stray cells beyond the header leaked through)
-            width = len(header)
+            # advice finding: stray cells beyond the header leaked through).
+            # A foreign workbook whose header row has NO cells would make
+            # that width 0 and silently drop every data cell (round-4
+            # advice) — fall back to the widest data row instead.
+            width = len(header) or max((len(r) for r in grid[1:]), default=0)
             rows = [(r + [None] * (width - len(r)))[:width]
                     for r in grid[1:]]
             out[sheet.get("name")] = (header, rows)

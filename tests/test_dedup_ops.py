@@ -268,3 +268,23 @@ def test_benchmark_overlap_counts(spark):
     # doc 10: 6 distinct 3-shingles, 2 of them ("alpha beta gamma",
     # "beta gamma delta") appear in the benchmark doc's shingle set
     assert got == {10: (6, 2, 333333)}
+
+
+def test_benchmark_overlap_short_docs_excluded(spark):
+    """Docs with fewer than n tokens emit one PARTIAL shingle from
+    word_shingles (concat_ws skips the null pads); benchmark_overlap must
+    exclude them from BOTH sides (round-4 advice: the DuckDB oracle's
+    window comprehension yields NULL for the same window, so a
+    partial-shingle hit diverged the engines on short docs)."""
+    bench = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta gamma")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta"),              # 2 tokens: excluded, no row
+         (11, "alpha beta gamma tail")],  # full 3-shingles only
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_doc_shingles, r.n_hits)
+           for r in DD.benchmark_overlap(corpus, bench).collect()}
+    # doc 10's partial shingle "alpha beta" would have matched bench doc
+    # 1's partial shingle before the fix; now neither side emits it
+    assert got == {11: (2, 1)}

@@ -213,3 +213,27 @@ def test_xlsx_lite_rows_truncated_to_header(tmp_path):
     header, rows = read_xlsx(p)["s"]
     assert header == ["a", "b"]
     assert rows == [[1, 2], [3, 4]]
+
+
+def test_xlsx_lite_empty_header_keeps_data(tmp_path):
+    """A foreign workbook whose header ROW has no cells must not truncate
+    every data row to [] (round-4 advice): the truncation width falls back
+    to the widest data row when the header is empty."""
+    import re
+    import zipfile
+    from apple_ocr_backend_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+    p = write_xlsx(str(tmp_path / "nohead.xlsx"),
+                   {"s": (["a", "b"], [[1, 2], [3, 4]])})
+    with zipfile.ZipFile(p) as z:
+        names = {n: z.read(n) for n in z.namelist()}
+    sheet = names["xl/worksheets/sheet1.xml"].decode()
+    # empty out the header row's cells (a foreign writer can emit this)
+    sheet = re.sub(r'<row r="1"[^>]*>.*?</row>', '<row r="1"></row>',
+                   sheet, count=1, flags=re.S)
+    names["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as z:
+        for n, data in names.items():
+            z.writestr(n, data)
+    header, rows = read_xlsx(p)["s"]
+    assert header == []
+    assert rows == [[1, 2], [3, 4]]
