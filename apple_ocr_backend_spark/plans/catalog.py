@@ -1805,30 +1805,30 @@ FROM documents GROUP BY lang
 def _q_lang_id_multi(spark, sf):
     """Multi-language ID (en/de/fr/es) by argmax of per-language stopword
     ratios, reported as a confusion matrix against the table's true lang
-    column.  One explode (4 candidate rows/doc, each scoring ONE token
-    pass — the word table is projected as an attribute before the filter
-    lambda so nothing re-evaluates per element), one window shuffle on
-    doc_id, one combinable groupBy."""
+    column.  MAP-ONLY argmax (round-4 verdict #4): the 4 candidate
+    languages are scored as per-doc COLUMNS — each an attribute-captured
+    token-array filter against a literal IN-list — and the winner is
+    picked with ``greatest`` over (score, -lang_index) structs, whose
+    lexicographic order gives exactly the (score DESC, cand ASC)
+    tie-break of a row_number window; no explode, no doc_id window
+    shuffle.  The confusion-matrix groupBy (4x4 cells, map-side
+    combinable) is the plan's only exchange."""
     langs = sorted(TX.STOPWORDS)
     d = T(spark, sf, "documents")
-    wmap = F.create_map(*[x for lg in langs
-                          for x in (F.lit(lg),
-                                    F.array(*[F.lit(s)
-                                              for s in TX.STOPWORDS[lg]]))])
-    rows = (d.select("doc_id", "lang", "text",
-                     F.explode(F.array(*[F.lit(lg) for lg in langs]))
-                     .alias("cand"))
-            .select("doc_id", "lang", "text", "cand",
-                    F.element_at(wmap, F.col("cand")).alias("__w")))
-    toks = TX.tokens(F.col("text"))
-    score = F.floor(
-        F.size(F.filter(toks, lambda t: F.array_contains(F.col("__w"), t)))
-        / F.size(toks) * 1_000_000).cast("long")
-    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
-    picked = (rows.withColumn("score", score)
-              .withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") == 1))
-    return (picked.groupBy("lang", F.col("cand").alias("predicted"))
+    base = d.select("lang", TX.tokens(F.col("text")).alias("tk"))
+
+    def score(lg):
+        hits = F.size(F.filter(F.col("tk"),
+                               lambda t: t.isin(*TX.STOPWORDS[lg])))
+        return F.floor(hits / F.size("tk") * 1_000_000).cast("long")
+
+    cands = [F.struct(score(lg).alias("s"), F.lit(-i).alias("ni"))
+             for i, lg in enumerate(langs)]
+    best = F.greatest(*cands)
+    predicted = F.element_at(F.array(*[F.lit(lg) for lg in langs]),
+                             -best["ni"] + 1)
+    return (base.select("lang", predicted.alias("predicted"))
+            .groupBy("lang", "predicted")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy("lang", "predicted"))
 
@@ -2032,13 +2032,25 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # public surface                                                              #
 # =========================================================================== #
 
-# The driver snapshots per-entry correctness in dict iteration order; keep
-# the flagship composite and the newest entries at the FRONT so a truncated
-# or timed-out driver pass still covers them (round-3: training_mix — then
-# registered last — was the single catalog entry without a driver row).
-_FRONT = ["training_mix", "events_sessionize_salted",
-          "dedup_incremental_stored", "lang_id_multi", "decontaminate",
-          "vocab_topk", "rolling_active_users"]
+# The driver snapshots per-entry correctness in dict iteration order and
+# caps the file at 50 rows/round, so with >50 catalog entries the tail is
+# skipped.  ROTATION RULE (round-4 verdict #1): every entry that missed a
+# driver row LAST round leads THIS round (check the previous
+# CORRECTNESS_r{N}.json for absent keys), followed by the flagship
+# composite (training_mix, re-checked every round) and this round's new
+# entries; the displaced tail is then always entries with a fresh green
+# row from the immediately preceding round — no entry ever goes more than
+# one round without a driver check (the analog of the reference eval
+# harness re-running its full golden set every run,
+# app/services/eval.py:41-182).
+#
+# Round-5 FRONT: the 7 entries absent from CORRECTNESS_r04.json, then
+# training_mix, then the round-5 approx siblings.
+_FRONT = ["pack_sequences", "quality_repetition", "pii_mask",
+          "dedup_incremental", "events_asof", "events_sessionize",
+          "length_quantiles",
+          "training_mix",
+          "rolling_active_users_approx", "length_quantiles_approx"]
 
 
 def catalog() -> dict[str, dict]:

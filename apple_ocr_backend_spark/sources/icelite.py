@@ -82,7 +82,9 @@ class Table:
                lineage: list[dict] | None = None,
                stats_col: str | None = None,
                compacts_chain: bool = False,
-               expect_parent: int | None = None) -> int:
+               expect_parent: int | None = None,
+               _carry_dirs: list[str] | None = None,
+               _carry_stats: dict | None = None) -> int:
         """Write df as a new data dir + commit a snapshot. Returns snapshot id.
 
         ``stats_col`` records the min/max of that column over the written
@@ -99,7 +101,16 @@ class Table:
         last snapshot id differs — required by read-modify-write commits
         like ``compact`` whose input resolved against a specific base.
         ``compacts_chain`` marks the snapshot as holding the FULL table
-        state, so readers start from it (see ``_active_snapshots``)."""
+        state, so readers start from it (see ``_active_snapshots``).
+
+        ``_carry_dirs`` (internal, used by tail-only ``compact``) lists
+        ALREADY-COMMITTED data dirs (path-relative) the new snapshot
+        re-references ahead of the freshly written one — no data is
+        rewritten for them.  ``_carry_stats`` is the carried dirs' manifest
+        stats entry, merged with the new dir's so range pruning stays
+        correct; carried dirs WITHOUT compatible stats make the snapshot
+        drop stats entirely (pruning is conservative — a statless snapshot
+        is always read)."""
         data_name = f"{uuid.uuid4().hex}"
         staging = os.path.join(self.path, "_staging", data_name)
         df.write.mode("overwrite").parquet(staging)
@@ -113,6 +124,17 @@ class Table:
                         F.max(stats_col).alias("mx")).first())
             stats = {"column": stats_col,
                      "min": _plain(row["mn"]), "max": _plain(row["mx"])}
+            if _carry_dirs:
+                if _carry_stats and _carry_stats.get("column") == stats_col:
+                    for key, pick in (("min", min), ("max", max)):
+                        a, b = stats[key], _carry_stats.get(key)
+                        stats[key] = b if a is None else \
+                            (a if b is None else pick(a, b))
+                else:
+                    # carried dirs are unaccounted for — recording the new
+                    # dir's bounds as the snapshot's would prune rows the
+                    # carried dirs hold
+                    stats = None
 
         with self._commit_lock:
             parent = self.last_snapshot()
@@ -145,7 +167,7 @@ class Table:
                 "parent_id": parent["snapshot_id"] if parent else None,
                 "committed_at": time.time(),
                 "operation": operation,
-                "data_dirs": [f"data/{data_name}"],
+                "data_dirs": list(_carry_dirs or []) + [f"data/{data_name}"],
                 "summary": summary or {},
                 "lineage": lineage or [],
             }
@@ -197,34 +219,60 @@ class Table:
 
     def compact(self, spark: SparkSession,
                 stats_col: str | None = None) -> int | None:
-        """Rewrite the table's current state into ONE data dir and commit a
+        """Bin-pack the UN-COMPACTED TAIL into one data dir and commit a
         compacting snapshot (Iceberg's rewrite-data-files analog).
 
         An append-per-micro-batch store (e.g. the streaming ingest-dedup
         corpus) accumulates one dir per epoch; after 10⁴ epochs every
         read unions 10⁴ parquet paths.  Compaction bounds that READ
         fan-in: readers start from the latest compacting snapshot, so
-        ``data_dirs()`` is one dir plus post-compaction appends.  History
-        is retained (prior snapshots stay in the chain for lineage /
-        ``committed_units``; their dirs remain referenced, so ``vacuum``
+        ``data_dirs()`` is a handful of dirs plus post-compaction appends.
+
+        Only the dirs committed SINCE the previous compacting snapshot are
+        rewritten (round-4 verdict #2: the earlier full-store rewrite made
+        every Nth epoch an O(store) write — quadratic cumulative write
+        amplification on a continuously growing store).  The previous
+        compaction's dirs are RE-REFERENCED by the new snapshot, not
+        rewritten, so each row is rewritten at most once per compaction
+        TIER (here: once), and bytes-written per compaction is O(tail),
+        bounded by ``compact_every`` epochs of arrivals.  Read fan-in after
+        k compactions is k + (epochs since the last one) — bound it
+        further with a periodic full rewrite only if k itself ever grows
+        past the read-union budget (10⁴ epochs / compact_every=10 → 10³
+        dirs, still one Spark read call).
+
+        History is retained (prior snapshots stay in the chain for lineage
+        / ``committed_units``; their dirs remain referenced, so ``vacuum``
         keeps them — like Iceberg, storage is reclaimed only by snapshot
         expiration, which this layer deliberately does not implement
         because the chain's consecutive ids ARE its commit integrity).
 
-        Returns the new snapshot id, or None for an empty table.  Raises
-        on a concurrent commit between the base read and the compacting
-        commit (``expect_parent`` CAS) — re-run to retry; the orphaned
-        rewrite dir is vacuumable."""
+        Returns the new snapshot id, or None when there is nothing to
+        compact (empty table, or no appends since the last compaction).
+        Raises on a concurrent commit between the base read and the
+        compacting commit (``expect_parent`` CAS) — re-run to retry; the
+        orphaned rewrite dir is vacuumable."""
         base = self.last_snapshot()
         if base is None:
             return None
-        df = self.read(spark)
-        n_before = len(self.data_dirs())
+        active = self._active_snapshots()
+        carry_dirs, carry_stats, tail = [], None, active
+        if active and active[0].get("compacts_chain"):
+            carry_dirs = list(active[0]["data_dirs"])
+            carry_stats = active[0].get("stats")
+            tail = active[1:]
+        tail_dirs = [d for s in tail for d in s["data_dirs"]]
+        if not tail_dirs:
+            return None
+        df = spark.read.parquet(
+            *(os.path.join(self.path, d) for d in tail_dirs))
         return self.append(
             df, operation="compact",
-            summary={"compacted_dirs": n_before},
+            summary={"compacted_dirs": len(tail_dirs),
+                     "carried_dirs": len(carry_dirs)},
             stats_col=stats_col, compacts_chain=True,
-            expect_parent=base["snapshot_id"])
+            expect_parent=base["snapshot_id"],
+            _carry_dirs=carry_dirs, _carry_stats=carry_stats)
 
     def read(self, spark: SparkSession, merge_schema: bool = False,
              between: tuple | None = None) -> DataFrame | None:

@@ -259,3 +259,56 @@ def test_append_expect_parent_cas(spark, tmp_path):
     removed = t.vacuum(min_age_sec=0.0)
     assert len(removed["data"]) == 1            # the orphaned rewrite dir
     assert t.read(spark).count() == 10
+
+
+def test_compact_tail_only_rewrites_tail(spark, tmp_path):
+    """Compaction is BIN-PACKING, not a full rewrite (round-4 verdict #2):
+    the second compaction re-references the first one's dir untouched and
+    rewrites only the dirs committed since it; manifest stats merge so
+    range pruning still covers the whole store."""
+    from apple_ocr_backend_spark.sources.icelite import Table
+    t = Table(str(tmp_path / "tbl"))
+    for i, lo in enumerate((0, 50, 100)):
+        t.append(spark.range(lo, lo + 50).selectExpr("id AS x"),
+                 stats_col="x", summary={"epoch_key": f"r/{i}"})
+    assert t.compact(spark, stats_col="x") == 4
+    dirs1 = set(t.data_dirs())
+    assert len(dirs1) == 1
+    # two more epochs, then compact again
+    for i, lo in enumerate((150, 200), start=3):
+        t.append(spark.range(lo, lo + 50).selectExpr("id AS x"),
+                 stats_col="x", summary={"epoch_key": f"r/{i}"})
+    assert t.compact(spark, stats_col="x") == 7
+    dirs2 = t.data_dirs()
+    # first compaction's dir is carried, NOT rewritten
+    assert dirs1 <= set(dirs2) and len(dirs2) == 2
+    new_dir = (set(dirs2) - dirs1).pop()
+    # the rewrite holds ONLY the 2-epoch tail (100 rows), not the store
+    assert spark.read.parquet(new_dir).count() == 100
+    snap = t.snapshots()[-1]
+    assert snap["summary"] == {"compacted_dirs": 2, "carried_dirs": 1}
+    # merged stats span carried + tail -> pruning stays correct
+    assert snap["stats"] == {"column": "x", "min": 0, "max": 249}
+    assert t.data_dirs(between=("x", 300, 400)) == []
+    assert t.data_dirs(between=("x", 0, 10)) == dirs2
+    assert sorted(r.x for r in t.read(spark).collect()) == list(range(250))
+    # nothing new since the last compaction -> no-op, no empty rewrite
+    assert t.compact(spark, stats_col="x") is None
+    # ledger survives both compactions
+    assert t.committed_units("epoch_key") == {f"r/{i}" for i in range(5)}
+
+
+def test_compact_drops_stats_when_carry_unstatted(spark, tmp_path):
+    """A tail compaction over a carried dir WITHOUT compatible stats must
+    not record the tail's bounds as the snapshot's — pruning would skip
+    rows the carried dir holds; the snapshot goes statless (always read)."""
+    from apple_ocr_backend_spark.sources.icelite import Table
+    t = Table(str(tmp_path / "tbl"))
+    t.append(spark.range(0, 50).selectExpr("id AS x"))
+    assert t.compact(spark) == 2              # no stats recorded
+    t.append(spark.range(1000, 1050).selectExpr("id AS x"))
+    t.compact(spark, stats_col="x")
+    assert "stats" not in t.snapshots()[-1]
+    # conservative: a range that misses the TAIL still reads everything
+    assert len(t.data_dirs(between=("x", 0, 10))) == 2
+    assert t.read(spark).count() == 100
