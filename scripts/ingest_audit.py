@@ -49,6 +49,15 @@ def main() -> None:
         sc.setJobGroup("epoch", "audit-epoch")
         ingest_dedup_epoch(t, b2, 1, run_id="audit")
         jobs = len(sc.statusTracker().getJobIdsForGroup("epoch"))
+        # same epoch shape WITH the band-bucket cap: the over-cap counts
+        # ride the decision frame, so the cap must cost only its two
+        # bucket-sizing checkpoints, not extra count() actions
+        b3 = spark.createDataFrame(
+            [(r[0] + 100, r[1]) for r in rows], "doc_id LONG, text STRING")
+        sc.setJobGroup("epoch_capped", "audit-epoch-capped")
+        ingest_dedup_epoch(t, b3, 2, run_id="audit", max_bucket=100)
+        jobs_capped = len(
+            sc.statusTracker().getJobIdsForGroup("epoch_capped"))
         axes = {
             "exact (digest anti-join)":
                 t.read(spark).select("digest"),
@@ -59,6 +68,7 @@ def main() -> None:
         }
         schemas = {k: read_schemas(spark, v) for k, v in axes.items()}
         print(json.dumps({"jobs_per_epoch": jobs,
+                          "jobs_per_epoch_max_bucket": jobs_capped,
                           "axis_read_schemas": schemas}, indent=1))
     spark.stop()
 
