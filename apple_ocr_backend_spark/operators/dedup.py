@@ -543,27 +543,95 @@ def cosine_q(a: Column, b: Column, scale: int = 1_000_000) -> Column:
     return cosine_from_parts(dot_q, norm_sq_q(a), norm_sq_q(b), scale)
 
 
+def quantize_vec(vec: Column, scale: int = 100_000) -> Column:
+    """Per-ROW integer quantization of a float vector: q[i] =
+    floor(x[i]·scale) as a long array.  Downstream pair math is then PURE
+    INTEGER multiply-add — order-independent, bit-identical in any engine
+    (the DuckDB oracles replay the same formula) and ~3× cheaper per pair
+    than the per-product floor/cast folds of ``cosine_q`` (no double
+    rounding decisions inside the pair loop)."""
+    return F.transform(vec,
+                       lambda x: F.floor(x.cast("double") * F.lit(scale)))
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Integer dot product of two long arrays (exact; |q|≤1e6, dim≤64 keeps
+    the sum far inside int64)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def int_cosine_q(dot: Column, na: Column, nb: Column,
+                 scale: int = 1_000_000) -> Column:
+    """floor-quantized cosine from an exact integer dot and integer squared
+    norms.  All inputs are exact int64; the one double product na·nb and
+    the sqrt/divide round identically under IEEE-754 in Spark and DuckDB,
+    so the quantized value is engine-independent."""
+    denom = F.sqrt(na.cast("double") * nb.cast("double"))
+    return F.floor(dot.cast("double") / denom * scale).cast("long")
+
+
 def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", cell_col: str = "label",
-                        threshold_q: int = 950_000) -> DataFrame:
+                        threshold_q: int = 950_000, quant_scale: int = 100_000,
+                        head: int = 16, bound_slack_q: int = 1_000,
+                        _pair_hook=None) -> DataFrame:
     """Near-duplicate vectors: cosine >= threshold within the same coarse
     cell (IVF-style — the equi-join on the cell id is the scale lever; a
-    full cross join never happens).  Each side carries its precomputed
-    quantized squared norm through the join (O(n·dim) map-side), so the
-    per-pair work is ONE dot-product fold instead of three — same value
-    bit-for-bit (the quantized norm is a pure function of the vector)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                   F.col(cell_col).alias("cell"),
-                   norm_sq_q(F.col(vec_col)).alias("na"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                   F.col(cell_col).alias("cell"),
-                   norm_sq_q(F.col(vec_col)).alias("nb"))
-    dot_q = _qsum(F.zip_with(F.col("va"), F.col("vb"),
-                             lambda x, y: x.cast("double") * y.cast("double")))
-    return (a.join(b, "cell")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos_q", cosine_from_parts(dot_q, F.col("na"),
-                                                   F.col("nb")))
+    full cross join never happens).
+
+    Per-pair cost floor (round-4 verdict #5), all EXACT — the output set
+    is identical to evaluating the full cosine on every cell pair:
+
+    * vectors are integer-quantized ONCE per row (``quantize_vec``);
+      norms and the head slice are map-side columns, so the join carries
+      only attributes and per-pair work is integer folds;
+    * a HEAD/SUFFIX Cauchy–Schwarz bound prunes most pairs with a
+      ``head``-element fold instead of the full ``dim``-element one:
+      dot(a,b) = dot_head + dot_suffix and dot_suffix ≤ √(‖a_suf‖²·‖b_suf‖²),
+      so  cos(a,b) ≤ (dot_head + √(na_suf·nb_suf)) / √(na·nb).
+      Pairs whose bound falls below threshold − slack are provably below
+      threshold (``bound_slack_q`` quantized units absorb the ≤1-ulp
+      rounding of the double sqrt/divide — generously: the true error is
+      ~1e-10 relative, the default slack is 1e-3);
+    * only survivors pay the full integer dot + exact quantized cosine.
+
+    High thresholds prune hard: at threshold 0.99 and head=16, a pair
+    needs dot_head ≥ (0.99 − √(na_suf·nb_suf/na/nb))·√(na·nb) — for
+    vectors with ~3/4 of their energy in the suffix that is ~0.24·√(na·nb)
+    of aligned head mass, which random or merely-correlated cell-mates
+    don't have.  ``_pair_hook`` (tests/bench) receives the (cell-joined,
+    bound-filtered) candidate frame so selectivity can be measured."""
+    q = quantize_vec(F.col(vec_col), quant_scale)
+
+    def side(tag: str) -> DataFrame:
+        s = emb.select(F.col(id_col).alias(f"id_{tag}"),
+                       F.col(cell_col).alias("cell"), q.alias("qv"))
+        s = s.select(f"id_{tag}", "cell", "qv",
+                     F.slice("qv", 1, head).alias("hd"),
+                     _idot(F.col("qv"), F.col("qv")).alias("nq"))
+        s = s.withColumn("nh", _idot(F.col("hd"), F.col("hd")))
+        return s.select(f"id_{tag}", "cell",
+                        F.col("qv").alias(f"qv_{tag}"),
+                        F.col("hd").alias(f"hd_{tag}"),
+                        F.col("nq").alias(f"nq_{tag}"),
+                        (F.col("nq") - F.col("nh")).alias(f"ns_{tag}"))
+
+    dot_head = _idot(F.col("hd_a"), F.col("hd_b"))
+    full_denom = F.sqrt(F.col("nq_a").cast("double")
+                        * F.col("nq_b").cast("double"))
+    bound = (dot_head.cast("double")
+             + F.sqrt(F.col("ns_a").cast("double")
+                      * F.col("ns_b").cast("double")))
+    keep = bound >= full_denom * ((threshold_q - bound_slack_q) / 1e6)
+    cands = (side("a").join(side("b"), "cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(keep))
+    if _pair_hook is not None:
+        _pair_hook(cands)
+    cos_q = int_cosine_q(_idot(F.col("qv_a"), F.col("qv_b")),
+                         F.col("nq_a"), F.col("nq_b"))
+    return (cands.withColumn("cos_q", cos_q)
             .filter(F.col("cos_q") >= threshold_q)
             .select("cell", "id_a", "id_b", "cos_q"))
 

@@ -999,6 +999,23 @@ CAST(FLOOR(
   * 1000000) AS BIGINT)
 """
 
+# integer-quantized cosine (operators/dedup.py::quantize_vec/int_cosine_q):
+# q[i] = floor(x[i]·1e5), exact integer dot/norms, ONE double product +
+# sqrt + divide — replays the pairwise-dedup entries' Spark math bit-exactly
+_COS_INT_SQL = """
+CAST(FLOOR(
+  CAST(list_sum([CAST(FLOOR({a}[i]::DOUBLE * 100000) AS BIGINT)
+                 * CAST(FLOOR({b}[i]::DOUBLE * 100000) AS BIGINT)
+                 FOR i IN range(1, 65)]) AS DOUBLE)
+  / SQRT(CAST(list_sum([CAST(FLOOR({a}[i]::DOUBLE * 100000) AS BIGINT)
+                        * CAST(FLOOR({a}[i]::DOUBLE * 100000) AS BIGINT)
+                        FOR i IN range(1, 65)]) AS DOUBLE)
+         * CAST(list_sum([CAST(FLOOR({b}[i]::DOUBLE * 100000) AS BIGINT)
+                          * CAST(FLOOR({b}[i]::DOUBLE * 100000) AS BIGINT)
+                          FOR i IN range(1, 65)]) AS DOUBLE))
+  * 1000000) AS BIGINT)
+"""
+
 _register("dedup_embedding", _q_dedup_embedding, f"""
 WITH corpus AS (
   SELECT vec_id, embedding, label FROM embeddings
@@ -1009,7 +1026,7 @@ WITH corpus AS (
 ),
 pairs AS (
   SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
-         {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_q
+         {_COS_INT_SQL.format(a='a.embedding', b='b.embedding')} AS cos_q
   FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT cell, id_a, id_b, cos_q FROM pairs WHERE cos_q >= 990000
@@ -1216,7 +1233,7 @@ WITH corpus AS (
 {_kmeans_ctes(src='corpus')},
 pairs AS (
   SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
-         {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_q
+         {_COS_INT_SQL.format(a='a.embedding', b='b.embedding')} AS cos_q
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
 )
 SELECT cell, id_a, id_b, cos_q FROM pairs WHERE cos_q >= 990000

@@ -288,3 +288,31 @@ def test_benchmark_overlap_short_docs_excluded(spark):
     # doc 10's partial shingle "alpha beta" would have matched bench doc
     # 1's partial shingle before the fix; now neither side emits it
     assert got == {11: (2, 1)}
+
+
+def test_embedding_prefilter_lossless(spark):
+    """The head/suffix Cauchy-Schwarz pre-filter is a pure optimization:
+    for any threshold and any head width the surviving-pair OUTPUT equals
+    the unpruned evaluation (disable pruning via a slack that makes the
+    bound vacuous)."""
+    import random
+    rnd = random.Random(7)
+    rows = []
+    vid = 0
+    for cell in range(3):
+        for _ in range(12):
+            v = [rnd.uniform(-1, 1) for _ in range(64)]
+            rows.append((vid, v, cell)); vid += 1
+            # a scaled near-dup (cosine exactly ~1) in the same cell
+            rows.append((vid, [x * 1.001 for x in v], cell)); vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    for thr in (500_000, 900_000, 990_000):
+        for head in (1, 16, 64):
+            pruned = set(map(tuple, DD.embedding_dup_pairs(
+                emb, threshold_q=thr, head=head).collect()))
+            full = set(map(tuple, DD.embedding_dup_pairs(
+                emb, threshold_q=thr, head=head,
+                bound_slack_q=2_000_000).collect()))
+            assert pruned == full, (thr, head)
+            assert len(pruned) >= 36, (thr, head)  # the planted dups
