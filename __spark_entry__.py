@@ -5,10 +5,14 @@ derived from the sf0.001 documents table -> ordered extracted spans).
 ``queries()``/``oracle_sql()`` expose the full operator catalog
 (apple_ocr_backend_spark.plans.catalog): every SURVEY.md §2 operator family
 plus the training-data ops (dedup incl. cluster resolution, ANN search
-incl. constructed IVF cells, text analysis, multimodal plumbing).  EVERY
+incl. constructed IVF cells, text analysis, multimodal plumbing).  Every
 entry carries a DuckDB oracle — including the two end-to-end extraction
 entries, whose oracle (plans/extract_oracle.py) is generated from the same
-character maps the kernels use.
+character maps the kernels use — EXCEPT the two sketch-tier siblings
+(rolling_active_users_approx, length_quantiles_approx): cross-engine
+approximate algorithms differ, so those take the rows-only driver check
+and are error-bound-pinned against their exact twins at sf0.1 in
+tests/test_training_ops.py.
 """
 
 from __future__ import annotations

@@ -1819,6 +1819,37 @@ FROM documents GROUP BY lang
 """)
 
 
+def _q_length_quantiles_approx(spark, sf):
+    """SKETCH TIER of length_quantiles (round-4 verdict #6): same
+    per-language profile, but ``approx_percentile`` (Greenwald-Khanna
+    style sketch, rank error <= 1/accuracy) replaces the exact
+    ``percentile``.  Identical plan shape — ONE map-side-combinable
+    groupBy — but the partial-aggregation state is a bounded sketch
+    instead of the full value multiset, so executor memory per group is
+    O(accuracy * log n) regardless of group size: this is the form a
+    100 TB run uses.  No cross-engine oracle (DuckDB's approx sketch
+    differs); the driver records the rows-only check and
+    tests/test_training_ops.py pins the rank-error bound against the
+    exact entry at sf0.1."""
+    d = T(spark, sf, "documents")
+    qs = F.percentile_approx(
+        "n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        F.lit(LENGTH_QUANTILES_ACCURACY))
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 qs[0].cast("long").alias("p50_approx"),
+                 qs[1].cast("long").alias("p90_approx"),
+                 qs[2].cast("long").alias("p99_approx"))
+            .orderBy("lang"))
+
+
+# rank-error guarantee eps = 1/accuracy; 1000 keeps the sketch ~KBs while
+# bounding the reported quantile within 0.1% of the true rank at any scale
+LENGTH_QUANTILES_ACCURACY = 1000
+
+_register("length_quantiles_approx", _q_length_quantiles_approx, None)
+
+
 def _q_lang_id_multi(spark, sf):
     """Multi-language ID (en/de/fr/es) by argmax of per-language stopword
     ratios, reported as a confusion matrix against the table's true lang
@@ -1971,6 +2002,43 @@ FROM days d JOIN du u
   ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
 GROUP BY d.day
 """)
+
+
+# HLL++ relative standard deviation; 2% keeps the per-day sketch ~KBs
+ROLLING_ACTIVE_RSD = 0.02
+
+
+def _q_rolling_active_users_approx(spark, sf):
+    """SKETCH TIER of rolling_active_users (round-4 verdict #6):
+    ``approx_count_distinct`` (HyperLogLog++, rsd=2%) replaces the exact
+    countDistinct — and because HLL is duplicate-insensitive the plan
+    DROPS the (day, user) pre-distinct shuffle the exact form needs to
+    bound its range-join expansion: raw events join the broadcast day
+    spine directly (<=7 rows out per event, map-side), then ONE
+    aggregation whose partial state is a fixed-size sketch per (day,
+    partition).  Net: one shuffle of ~n_partitions x n_days sketches vs
+    the exact form's two wide shuffles — this is the 100 TB form.  No
+    cross-engine oracle (HLL implementations differ); the driver records
+    the rows-only check and tests/test_training_ops.py pins the error
+    against the exact entry at sf0.1 within 3*rsd."""
+    e = T(spark, sf, "events")
+    ev = e.select(F.to_date("ts").alias("day"), "user_id")
+    days = ev.select("day").distinct()
+    j = (ev.alias("u").join(
+        F.broadcast(days.alias("d")),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))))
+    return (j.groupBy(F.col("d.day").alias("d_day"))
+            .agg(F.approx_count_distinct(
+                "u.user_id", ROLLING_ACTIVE_RSD)
+                .alias("active_users_7d_approx"))
+            .select(F.date_format("d_day", "yyyy-MM-dd").alias("day"),
+                    "active_users_7d_approx")
+            .orderBy("day"))
+
+
+_register("rolling_active_users_approx", _q_rolling_active_users_approx,
+          None)
 
 
 def _q_training_mix(spark, sf):

@@ -372,3 +372,60 @@ def test_sessionize_two_phase_randomized_parity(spark):
     two = sessionize_two_phase(df, gap_minutes=30, bucket_minutes=90) \
         .orderBy("user_id", "session_ord").collect()
     assert [tuple(r) for r in two] == [tuple(r) for r in one]
+
+
+# --------------------------------------------------------------------------- #
+# sketch-tier siblings (round-4 verdict #6): approx vs exact error bounds
+# --------------------------------------------------------------------------- #
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_rolling_active_users_approx_within_bound(spark):
+    """HLL++ sibling must track the exact trailing-7-day distinct count
+    within 3*rsd on every day at sf0.1 (rsd=0.02 -> 6%); deterministic
+    because HLL is deterministic for a given input set."""
+    from apple_ocr_backend_spark.plans.catalog import (
+        ROLLING_ACTIVE_RSD, catalog)
+    C = catalog()
+    exact = {r.day: r.active_users_7d
+             for r in C["rolling_active_users"]["spark"](spark, SF01)
+             .collect()}
+    approx = {r.day: r.active_users_7d_approx
+              for r in C["rolling_active_users_approx"]["spark"](spark, SF01)
+              .collect()}
+    assert sorted(exact) == sorted(approx)
+    bound = 3 * ROLLING_ACTIVE_RSD
+    for day, n in exact.items():
+        rel = abs(approx[day] - n) / n
+        assert rel <= bound, (day, approx[day], n, rel)
+
+
+def test_length_quantiles_approx_rank_bound(spark):
+    """approx_percentile guarantees the returned value's RANK is within
+    eps = 1/accuracy of the requested quantile; pin that guarantee (plus
+    1/n discretization slack) per language and quantile at sf0.1 against
+    the raw data, and pin the value itself against the exact entry's
+    interpolated percentile to within the widest same-rank-window value
+    gap."""
+    import pyarrow.parquet as pq
+
+    from apple_ocr_backend_spark.plans.catalog import (
+        LENGTH_QUANTILES_ACCURACY, catalog)
+    C = catalog()
+    ap = C["length_quantiles_approx"]["spark"](spark, SF01).collect()
+    docs = pq.read_table(f"{SF01}/documents.parquet",
+                         columns=["lang", "n_chars"]).to_pandas()
+    eps = 1.0 / LENGTH_QUANTILES_ACCURACY
+    for row in ap:
+        vals = docs.loc[docs.lang == row.lang, "n_chars"] \
+            .sort_values().reset_index(drop=True)
+        n = len(vals)
+        assert n == row.n_docs
+        for q, got in [(0.5, row.p50_approx), (0.9, row.p90_approx),
+                       (0.99, row.p99_approx)]:
+            # rank window of the returned value among the sorted data
+            lo = (vals < got).sum() / n
+            hi = (vals <= got).sum() / n
+            assert lo - (eps + 1.0 / n) <= q <= hi + (eps + 1.0 / n), \
+                (row.lang, q, got, lo, hi)
