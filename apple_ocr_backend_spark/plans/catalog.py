@@ -2130,12 +2130,20 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # app/services/eval.py:41-182).
 #
 # Round-5 FRONT: the 7 entries absent from CORRECTNESS_r04.json, then
-# training_mix, then the round-5 approx siblings.
+# training_mix, then the round-5 approx siblings, then every entry whose
+# CODE changed this round (an r04 green row doesn't cover changed code:
+# the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
+# quantized embedding-dedup kernels), then the flagship extraction pair
+# (never displaced).  With 59 entries and a 50-row cap the 9 displaced
+# are then all unchanged-since-r04 green entries.
 _FRONT = ["pack_sequences", "quality_repetition", "pii_mask",
           "dedup_incremental", "events_asof", "events_sessionize",
           "length_quantiles",
           "training_mix",
-          "rolling_active_users_approx", "length_quantiles_approx"]
+          "rolling_active_users_approx", "length_quantiles_approx",
+          "lang_id_multi", "decontaminate",
+          "dedup_embedding", "dedup_embedding_fitted",
+          "extract_pipeline_fused", "extract_pipeline_staged"]
 
 
 def catalog() -> dict[str, dict]:

@@ -358,7 +358,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "pii_mask", "dedup_incremental", "events_asof",
              "events_sessionize", "events_sessionize_salted",
              "training_mix", "length_quantiles", "lang_id_multi",
-             "decontaminate", "vocab_topk", "rolling_active_users"]
+             "decontaminate", "vocab_topk", "rolling_active_users",
+             # round-5 sketch-tier siblings
+             "rolling_active_users_approx", "length_quantiles_approx",
+             "dedup_embedding"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in
@@ -488,12 +491,14 @@ def scaling_pair_mode() -> None:
     eff = round((d8 / d2) / 4, 3)
     report = {"n_docs": pts[8]["n_docs"], "replicate": reps,
               "local2": pts[2], "local8": pts[8], "eff_2to8": eff}
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "5")
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            "\n## Round-4 N→4N re-pin (fused, local[2]→local[8])\n\n"
+            f"\n## Round-{rnd} N→4N re-pin (fused, local[2]→local[8])\n\n"
             f"Same protocol as the headline table ({report['n_docs']} "
             "docs, fresh JVM per master, warmup + median of 3, cache "
-            "cleared per iteration), re-measured on the round-4 code:\n\n"
+            f"cleared per iteration), re-measured on the round-{rnd} "
+            "code:\n\n"
             "| master | docs/s | iters (s) | steal ticks/iter |\n"
             "|---|---|---|---|\n"
             f"| local[2] | {d2} | {pts[2]['iters_fused']} | "
