@@ -1,0 +1,166 @@
+"""Image-payload extraction stages: decode -> preprocess -> ROI -> orient.
+
+These are the real (non-stubbed) versions of the reference's image path,
+built on the from-scratch PNG codec (``functions/png_codec.py``) and the
+numpy kernel suite (``functions/image_kernels.py``) — no cv2/pillow.
+Each stage is an Arrow-batched ``mapInPandas``: the Python level iterates
+documents within a batch exactly like the reference's per-image cv2 calls
+(``app/pipeline/ocr_adapter_improved.py:1346-1471``); every pixel loop is
+vectorized numpy.  At scale the binary column arrives from the table scan
+(these stages never shuffle — they are map-only over whatever partitioning
+the scan produced); ``render_media`` exists because this sandbox has to
+synthesize its own payloads (md5-derived geometry, see
+``sources/image_corpus.py``), standing in for the scan.
+
+Pipeline roles vs SURVEY.md §2: S1 (decode scan), P1 (preprocess chain),
+P2 (glare reduction), P3 (projection-band ROIs), P6 (orientation), F9
+(ROI geometry filters), A8 (projection-profile stats), W2 (energy top-k),
+X10 (CLAHE/bilateral/adaptive-threshold/resize kernels).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..functions import image_kernels as K
+from ..functions.png_codec import decode_png_gray, encode_png_gray
+from ..sources.image_corpus import render_doc_image
+
+RENDER_DDL = "doc_id bigint, media binary"
+
+
+def render_media(df: DataFrame, rotate: bool = False,
+                 glare: bool = True) -> DataFrame:
+    """df(doc_id, ...) -> (doc_id, media: binary): deterministic synthetic
+    PNG pages (the sandbox's stand-in for reading an image column off the
+    table scan)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            media = [encode_png_gray(render_doc_image(int(d), rotate=rotate,
+                                                      glare=glare))
+                     for d in b["doc_id"]]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
+    return df.select("doc_id").mapInPandas(fn, schema=RENDER_DDL)
+
+
+DECODE_STATS_DDL = ("doc_id bigint, height int, width int, ink_rows int, "
+                    "glare boolean")
+
+
+def decode_stats(df: DataFrame, bg_ref: int = 215) -> DataFrame:
+    """df(doc_id, media) -> per-image decode + projection-profile stats
+    (S1 + A8): decoded dimensions, count of rows carrying any ink, and a
+    saturation(glare) flag — the stats the reference derives before
+    choosing preprocessing parameters (``ocr_adapter_improved.py:843-869``)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            hs, ws, inkr, gl = [], [], [], []
+            for media in b["media"]:
+                img = decode_png_gray(bytes(media))
+                ink = K.ink_image(img, bg_ref)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                inkr.append(int((ink.sum(axis=1) > 0).sum()))
+                gl.append(bool((img >= 250).any()))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "height": hs,
+                                "width": ws, "ink_rows": inkr, "glare": gl})
+    return df.mapInPandas(fn, schema=DECODE_STATS_DDL)
+
+
+ROI_DDL = "doc_id bigint, roi_idx int, y0 int, y1 int"
+
+
+def _default_bands(h: int) -> list[tuple[int, int, int]]:
+    """P5 fallback when no projection band survives the filters: the
+    reference's 3 fixed bands in its center/bottom/top priority order
+    (``yolo_detector.py:397-497``)."""
+    third = h // 3
+    return [(third, 2 * third, 0), (2 * third, h, 0), (0, third, 0)]
+
+
+def extract_rois(df: DataFrame, top_k: int = 4,
+                 fallback: bool = True) -> DataFrame:
+    """df(doc_id, media) -> one row per detected text band
+    (P1+P2+P3+P5+F9+W2): glare-reduce -> CLAHE -> bilateral -> adaptive
+    threshold -> row projection -> band extraction -> geometry/energy
+    filters -> energy top-k, emitted in position order; documents where
+    nothing survives fall back to the reference's 3 fixed bands.
+    1 -> N Arrow batch contract."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            docs, idxs, y0s, y1s = [], [], [], []
+            for doc, media in zip(b["doc_id"], b["media"]):
+                img = decode_png_gray(bytes(media))
+                img, _method = K.reduce_glare(img)
+                binm = K.adaptive_threshold(K.bilateral5(K.clahe(img)))
+                bands = K.find_bands(K.row_projection(binm), img.shape[0])
+                widths = [max(x1 - x0, 1) for x0, x1 in
+                          (K.band_x_extent(binm, b0, b1) for b0, b1, _ in bands)]
+                rois = K.top_k_bands(
+                    K.filter_rois(bands, img.shape[1], widths), top_k)
+                if not rois and fallback:
+                    rois = _default_bands(img.shape[0])
+                for i, (y0, y1, _energy) in enumerate(rois):
+                    docs.append(doc)
+                    idxs.append(i)
+                    y0s.append(y0)
+                    y1s.append(y1)
+            yield pd.DataFrame({"doc_id": docs, "roi_idx": idxs,
+                                "y0": y0s, "y1": y1s})
+    return df.mapInPandas(fn, schema=ROI_DDL)
+
+
+ORIENT_DDL = "doc_id bigint, angle int"
+
+
+def detect_orientations(df: DataFrame) -> DataFrame:
+    """df(doc_id, media) -> (doc_id, angle in {0,90,180,270}) via projection
+    variance + thickest-band position (P6)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            angles = [K.detect_orientation(decode_png_gray(bytes(m)))
+                      for m in b["media"]]
+            yield pd.DataFrame({"doc_id": b["doc_id"],
+                                "angle": pd.Series(angles, dtype="int32")})
+    return df.mapInPandas(fn, schema=ORIENT_DDL)
+
+
+RESIZE_DDL = ("doc_id bigint, h_in int, w_in int, h_out int, w_out int, "
+              "n_bytes_out bigint")
+
+
+def resize_images(df: DataFrame, scale: int = 2) -> DataFrame:
+    """df(doc_id, media) -> bilinear downscale by ``scale`` + re-encode
+    (X10 resize on real pixels; replaces the byte-decimation stand-in for
+    PNG payloads)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            rows = {"doc_id": b["doc_id"], "h_in": [], "w_in": [],
+                    "h_out": [], "w_out": [], "n_bytes_out": []}
+            for media in b["media"]:
+                img = decode_png_gray(bytes(media))
+                h, w = img.shape
+                out = K.resize_bilinear(img, h // scale, w // scale)
+                enc = encode_png_gray(out)
+                rows["h_in"].append(h)
+                rows["w_in"].append(w)
+                rows["h_out"].append(out.shape[0])
+                rows["w_out"].append(out.shape[1])
+                rows["n_bytes_out"].append(len(enc))
+            yield pd.DataFrame(rows)
+    return df.mapInPandas(fn, schema=RESIZE_DDL)

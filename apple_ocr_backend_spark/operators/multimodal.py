@@ -28,20 +28,26 @@ MEDIA_META_DDL = "doc_id bigint, n_bytes bigint, sig string"
 
 def _codec_singleton():
     """Lazy per-worker init (loaded once per Python worker process, like the
-    reference's EasyOCR reader singleton).  Raises until a real codec library
-    is installed; callers must catch and fall back."""
+    reference's EasyOCR reader singleton, ``ocr_adapter_improved.py:19-70``).
+    PNG decodes through the from-scratch stdlib codec
+    (``functions/png_codec.py``); other container formats (JPEG/WebP/...)
+    still need an external library and raise until one is installed."""
     global _CODEC
     if _CODEC is None:
-        raise NotImplementedError(
-            "no image/audio codec available in this environment; "
-            "install pillow/torchaudio and return the handle here")
+        from ..functions import png_codec
+        _CODEC = png_codec
     return _CODEC
 
 
 def decode_image(data: bytes):
-    """STUB: bytes -> ndarray decode (cv2.imdecode analog)."""
-    codec = _codec_singleton()
-    return codec.decode(data)  # pragma: no cover
+    """bytes -> uint8 grayscale ndarray (cv2.imdecode analog).  Real for
+    PNG payloads; raises ValueError/NotImplementedError for formats the
+    environment has no codec for — callers catch and fall back."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _codec_singleton().decode_png_gray(data)
+    raise NotImplementedError(
+        "only PNG payloads decode in this environment; install "
+        "pillow/cv2 for JPEG/WebP and extend _codec_singleton")
 
 
 def _signature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

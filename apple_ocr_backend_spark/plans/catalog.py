@@ -1276,7 +1276,8 @@ _register("ann_lsh", _q_ann_lsh, _lsh_sql())
 
 
 # =========================================================================== #
-# 6. Multimodal plumbing (binary columns, Arrow-batched decode stub)          #
+# 6. Multimodal plumbing (binary columns, Arrow batch contracts; the decode   #
+#    half is REAL for PNG via functions/png_codec.py — see section 6b)        #
 # =========================================================================== #
 
 def _q_multimodal_signature(spark, sf):
@@ -1351,6 +1352,141 @@ SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
        md5(substring(text, CAST(frame_idx * stride + 1 AS INT), stride))
          AS frame_sig
 FROM frames
+""")
+
+
+# =========================================================================== #
+# 6b. Real image payload path: from-scratch PNG codec + numpy kernels.        #
+#     The synthetic corpus plants its geometry via md5 arithmetic             #
+#     (sources/image_corpus.py), so the oracle SQL computes the ANSWER KEY    #
+#     analytically while Spark must recover it from actual pixels through    #
+#     decode -> glare-reduce -> CLAHE -> bilateral -> adaptive threshold ->   #
+#     projection -> band extraction.  End-to-end image-path check with no    #
+#     image library on the oracle side.                                       #
+# =========================================================================== #
+
+_IMG_DOCS = 300  # doc_id < 300 exists at every sf
+
+
+def _hx(col: str, tag: str) -> str:
+    """DuckDB twin of the renderer's ``int(md5(f"{id}_{tag}")[:6], 16)``."""
+    return (f"('0x' || substr(md5(CAST({col} AS VARCHAR) || '_{tag}'), 1, 6))"
+            "::BIGINT")
+
+
+def _img_ids(spark, sf):
+    return (T(spark, sf, "documents")
+            .select("doc_id").where(F.col("doc_id") < _IMG_DOCS))
+
+
+def _q_image_rois(spark, sf):
+    """Projection-band ROI extraction on real pixels (P1+P2+P3+F9+W2 +
+    X10 kernels): the detected (y0, y1) intervals must EXACTLY equal the
+    planted band geometry for every document."""
+    from ..operators.image_extract import extract_rois, render_media
+    media = render_media(_img_ids(spark, sf), rotate=False)
+    return extract_rois(media, top_k=4).orderBy("doc_id", "roi_idx")
+
+
+_register("image_rois", _q_image_rois, f"""
+WITH docs AS (
+  SELECT doc_id, 2 + {_hx('doc_id', 'n')} % 3 AS n_bands
+  FROM documents WHERE doc_id < {_IMG_DOCS}
+),
+ks AS (SELECT unnest(range(0, 4)) AS k),
+bands AS (
+  SELECT d.doc_id, CAST(k.k AS INT) AS roi_idx,
+         CASE WHEN k.k = 0 THEN 8
+              ELSE k.k * (144 // d.n_bands) + 8
+                   + ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                        || '_o' || k.k), 1, 6))::BIGINT % 5
+         END AS y0,
+         CASE WHEN k.k = 0 THEN 24
+              ELSE 16 + ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                         || '_h' || k.k), 1, 6))::BIGINT % 6
+         END AS bh
+  FROM docs d JOIN ks k ON k.k < d.n_bands
+)
+SELECT doc_id, roi_idx, CAST(y0 AS INT) AS y0, CAST(y0 + bh AS INT) AS y1
+FROM bands ORDER BY doc_id, roi_idx
+""")
+
+
+def _q_image_orientation(spark, sf):
+    """Orientation recovery (P6): projection-variance axis pick + thickest-
+    band (header) position must reproduce the planted quarter-turn for
+    every document."""
+    from ..operators.image_extract import detect_orientations, render_media
+    media = render_media(_img_ids(spark, sf), rotate=True)
+    return detect_orientations(media).orderBy("doc_id")
+
+
+_register("image_orientation", _q_image_orientation, f"""
+SELECT doc_id,
+       CAST(90 * ({_hx('doc_id', 'r')} % 4) AS INT) AS angle
+FROM documents WHERE doc_id < {_IMG_DOCS}
+ORDER BY doc_id
+""")
+
+
+def _q_image_decode_stats(spark, sf):
+    """Decode + projection-profile stats (S1 + A8) on the ROTATED corpus:
+    decoded dims, rows-with-ink count, and the saturation(glare) flag must
+    match the planted geometry."""
+    from ..operators.image_extract import decode_stats, render_media
+    media = render_media(_img_ids(spark, sf), rotate=True)
+    return decode_stats(media).orderBy("doc_id")
+
+
+_register("image_decode_stats", _q_image_decode_stats, f"""
+WITH g AS (
+  SELECT doc_id,
+         2 + {_hx('doc_id', 'n')} % 3 AS n_bands,
+         {_hx('doc_id', 'r')} % 4 AS rot,
+         {_hx('doc_id', 'g')} % 4 = 0 AS glare
+  FROM documents WHERE doc_id < {_IMG_DOCS}
+),
+ks AS (SELECT unnest(range(0, 4)) AS k),
+ink AS (
+  SELECT g.doc_id,
+         SUM(CASE WHEN k.k = 0 THEN 24
+                  ELSE 16 + ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)
+                       || '_h' || k.k), 1, 6))::BIGINT % 6 END) AS ink_sum
+  FROM g JOIN ks k ON k.k < g.n_bands GROUP BY g.doc_id
+)
+SELECT g.doc_id,
+       CAST(CASE WHEN g.rot % 2 = 1 THEN 256 ELSE 144 END AS INT) AS height,
+       CAST(CASE WHEN g.rot % 2 = 1 THEN 144 ELSE 256 END AS INT) AS width,
+       CAST(CASE WHEN g.rot % 2 = 1 THEN 168 ELSE ink.ink_sum END AS INT)
+         AS ink_rows,
+       g.glare AS glare
+FROM g JOIN ink USING (doc_id)
+ORDER BY doc_id
+""")
+
+
+def _q_image_resize(spark, sf):
+    """Bilinear half-resize on real pixels (X10 resize): output dims must
+    match the planted (rotation-dependent) input dims halved."""
+    from ..operators.image_extract import render_media, resize_images
+    media = render_media(_img_ids(spark, sf), rotate=True)
+    return (resize_images(media, scale=2)
+            .select("doc_id", "h_in", "w_in", "h_out", "w_out")
+            .orderBy("doc_id"))
+
+
+_register("image_resize", _q_image_resize, f"""
+SELECT doc_id,
+       CAST(CASE WHEN {_hx('doc_id', 'r')} % 2 = 1 THEN 256 ELSE 144 END
+            AS INT) AS h_in,
+       CAST(CASE WHEN {_hx('doc_id', 'r')} % 2 = 1 THEN 144 ELSE 256 END
+            AS INT) AS w_in,
+       CAST(CASE WHEN {_hx('doc_id', 'r')} % 2 = 1 THEN 128 ELSE 72 END
+            AS INT) AS h_out,
+       CAST(CASE WHEN {_hx('doc_id', 'r')} % 2 = 1 THEN 72 ELSE 128 END
+            AS INT) AS w_out
+FROM documents WHERE doc_id < {_IMG_DOCS}
+ORDER BY doc_id
 """)
 
 
@@ -2129,14 +2265,17 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # harness re-running its full golden set every run,
 # app/services/eval.py:41-182).
 #
-# Round-5 FRONT: the 7 entries absent from CORRECTNESS_r04.json, then
+# Round-5 FRONT: the four brand-new image-path entries (no prior driver
+# row exists), then the 7 entries absent from CORRECTNESS_r04.json, then
 # training_mix, then the round-5 approx siblings, then every entry whose
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
 # quantized embedding-dedup kernels), then the flagship extraction pair
-# (never displaced).  With 59 entries and a 50-row cap the 9 displaced
+# (never displaced).  With 63 entries and a 50-row cap the 13 displaced
 # are then all unchanged-since-r04 green entries.
-_FRONT = ["pack_sequences", "quality_repetition", "pii_mask",
+_FRONT = ["image_rois", "image_orientation", "image_decode_stats",
+          "image_resize",
+          "pack_sequences", "quality_repetition", "pii_mask",
           "dedup_incremental", "events_asof", "events_sessionize",
           "length_quantiles",
           "training_mix",

@@ -1,0 +1,91 @@
+"""Deterministic synthetic document-image corpus (PNG payloads).
+
+Every pixel derives from ``md5(f"{doc_id}_{tag}")`` arithmetic, so the
+planted geometry — band count, band rows, rotation, glare flag — is
+computable in plain SQL (DuckDB: ``('0x' || substr(md5(...), 1, 6))::BIGINT``)
+while the Spark side must recover it from the actual pixels through the
+full decode -> preprocess -> projection -> band-extraction chain.  That
+makes the image-path catalog entries end-to-end oracle-checkable without
+an image library on the oracle side.
+
+Layout (all constants mirrored in ``plans/catalog.py`` oracle SQL):
+- canvas 144 x 256, light background 215 + (x*7 + y*13) % 5
+- n_bands = 2 + H('n') % 3 text bands, one per vertical slot of
+  ``144 // n_bands`` rows; band 0 is the 24-row header (thickest —
+  orientation detection keys on it), bands k>0 are 16 + H('h{k}') % 6
+  rows starting at slot_top + 8 + H('o{k}') % 5
+- strokes: columns 16..239, ink (value 60 + x % 16) wherever
+  ``(x + phase) % 4 != 3`` with phase = H('p') % 4 — 3-on/1-off vertical
+  strokes, 168 inked columns exactly
+- optional glare: if H('g') % 4 == 0, a radius-3 saturated disc at
+  row 3 (margin-only, so it never clips a band)
+- rotation (when requested): ``np.rot90`` by H('r') % 4 quarter turns
+
+The renderer parallels the reference's fixture corpus role
+(synthetic inputs with known answers, ``app/tests/conftest.py``): the
+image is the payload, the md5 arithmetic is the answer key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..functions.png_codec import encode_png_gray  # noqa: F401  (renderer's encode half)
+
+H_CANVAS, W_CANVAS = 144, 256
+X0_STROKE, X1_STROKE = 16, 240
+HEADER_H = 24
+
+
+def _h(doc_id: int, tag: str) -> int:
+    """First 6 md5 hex digits as an int — matches Spark
+    ``conv(substring(md5(...),1,6),16,10)`` and DuckDB
+    ``('0x' || substr(md5(...),1,6))::BIGINT``."""
+    return int(hashlib.md5(f"{doc_id}_{tag}".encode()).hexdigest()[:6], 16)
+
+
+def planted_geometry(doc_id: int) -> dict:
+    """The analytic answer key for one document (what the oracle SQL
+    computes)."""
+    n_bands = 2 + _h(doc_id, "n") % 3
+    slot = H_CANVAS // n_bands
+    bands = []
+    for k in range(n_bands):
+        if k == 0:
+            y0, bh = 8, HEADER_H
+        else:
+            y0 = k * slot + 8 + _h(doc_id, f"o{k}") % 5
+            bh = 16 + _h(doc_id, f"h{k}") % 6
+        bands.append((y0, y0 + bh))
+    return {
+        "n_bands": n_bands,
+        "bands": bands,
+        "phase": _h(doc_id, "p") % 4,
+        "glare": _h(doc_id, "g") % 4 == 0,
+        "rot_quads": _h(doc_id, "r") % 4,
+    }
+
+
+def render_doc_image(doc_id: int, rotate: bool = False,
+                     glare: bool = True) -> np.ndarray:
+    """uint8 grayscale page for ``doc_id`` (see module docstring)."""
+    g = planted_geometry(doc_id)
+    ys = np.arange(H_CANVAS)[:, None]
+    xs = np.arange(W_CANVAS)[None, :]
+    img = (215 + (xs * 7 + ys * 13) % 5).astype(np.uint8)
+    stroke_cols = np.arange(X0_STROKE, X1_STROKE)
+    inked = (stroke_cols + g["phase"]) % 4 != 3
+    stroke_vals = (60 + stroke_cols % 16).astype(np.uint8)
+    for y0, y1 in g["bands"]:
+        band = img[y0:y1, X0_STROKE:X1_STROKE]
+        band[:, inked] = stroke_vals[inked]
+    if glare and g["glare"]:
+        cx = 40 + _h(doc_id, "gx") % (W_CANVAS - 80)
+        dy = ys - 3
+        dx = xs - cx
+        img[(dy * dy + dx * dx) <= 9] = 255
+    if rotate and g["rot_quads"]:
+        img = np.ascontiguousarray(np.rot90(img, g["rot_quads"]))
+    return img

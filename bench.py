@@ -361,7 +361,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "decontaminate", "vocab_topk", "rolling_active_users",
              # round-5 sketch-tier siblings
              "rolling_active_users_approx", "length_quantiles_approx",
-             "dedup_embedding"]
+             "dedup_embedding",
+             # round-5 real image payload path (PNG codec + numpy kernels)
+             "image_rois", "image_orientation"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in

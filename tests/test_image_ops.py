@@ -1,0 +1,90 @@
+"""Spark image-path operators: planted-geometry recovery end to end,
+partitioning invariance, decode-scan contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apple_ocr_backend_spark.operators.image_extract import (
+    decode_stats, detect_orientations, extract_rois, render_media,
+    resize_images)
+from apple_ocr_backend_spark.sources.image_corpus import planted_geometry
+
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(N_DOCS).withColumnRenamed("id", "doc_id")
+
+
+def test_extract_rois_matches_planted(spark, ids):
+    media = render_media(ids, rotate=False)
+    rows = extract_rois(media, top_k=4).orderBy("doc_id", "roi_idx").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.y0, r.y1))
+    for doc in range(N_DOCS):
+        assert got[doc] == planted_geometry(doc)["bands"], doc
+
+
+def test_extract_rois_partitioning_invariant(spark, ids):
+    media = render_media(ids, rotate=False)
+    a = extract_rois(media).orderBy("doc_id", "roi_idx").collect()
+    b = (extract_rois(media.repartition(7))
+         .orderBy("doc_id", "roi_idx").collect())
+    assert a == b
+
+
+def test_orientation_matches_planted(spark, ids):
+    media = render_media(ids, rotate=True)
+    for r in detect_orientations(media).collect():
+        assert r.angle == 90 * planted_geometry(r.doc_id)["rot_quads"]
+
+
+def test_decode_stats_contract(spark, ids):
+    media = render_media(ids, rotate=True)
+    for r in decode_stats(media).collect():
+        g = planted_geometry(r.doc_id)
+        odd = g["rot_quads"] % 2 == 1
+        assert (r.height, r.width) == ((256, 144) if odd else (144, 256))
+        want_ink = 168 if odd else sum(b - a for a, b in g["bands"])
+        assert r.ink_rows == want_ink
+        assert r.glare == g["glare"]
+
+
+def test_resize_halves_dims_and_reencodes(spark, ids):
+    media = render_media(ids, rotate=True)
+    for r in resize_images(media, scale=2).collect():
+        assert (r.h_out, r.w_out) == (r.h_in // 2, r.w_in // 2)
+        assert 0 < r.n_bytes_out
+
+
+def test_decode_image_png_and_foreign_format(spark):
+    from apple_ocr_backend_spark.operators.multimodal import decode_image
+    from apple_ocr_backend_spark.sources.image_corpus import (
+        encode_png_gray, render_doc_image)
+    img = render_doc_image(3)
+    assert (decode_image(encode_png_gray(img)) == img).all()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg soi header")
+
+
+def test_null_and_empty_partition_batches(spark):
+    # empty input frame must not crash the Arrow stages
+    empty = spark.range(0).withColumnRenamed("id", "doc_id")
+    assert extract_rois(render_media(empty)).count() == 0
+    assert decode_stats(render_media(empty)).count() == 0
+
+
+def test_blank_page_falls_back_to_fixed_bands(spark):
+    """P5: a page with no detectable text yields the reference's 3 fixed
+    bands in center/bottom/top priority order (yolo_detector.py:397-497)."""
+    import numpy as np
+    from apple_ocr_backend_spark.functions.png_codec import encode_png_gray
+    blank = encode_png_gray(np.full((144, 256), 216, dtype=np.uint8))
+    df = spark.createDataFrame([(0, bytearray(blank))], "doc_id long, media binary")
+    rows = extract_rois(df).orderBy("roi_idx").collect()
+    assert [(r.y0, r.y1) for r in rows] == [(48, 96), (96, 144), (0, 48)]
+    assert extract_rois(df, fallback=False).count() == 0
