@@ -1375,8 +1375,14 @@ def _hx(col: str, tag: str) -> str:
 
 
 def _img_ids(spark, sf):
+    # explicit repartition on doc_id: the sf corpus is one parquet file ->
+    # one scan partition, and the per-image kernel work is the expensive
+    # part — same shape as the extraction pipeline's salted repartition
+    # (payload-heavy rows must spread across executors before the Arrow
+    # stages, north-rule skew handling)
     return (T(spark, sf, "documents")
-            .select("doc_id").where(F.col("doc_id") < _IMG_DOCS))
+            .select("doc_id").where(F.col("doc_id") < _IMG_DOCS)
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
 
 
 def _q_image_rois(spark, sf):
