@@ -164,3 +164,46 @@ def resize_images(df: DataFrame, scale: int = 2) -> DataFrame:
                 rows["n_bytes_out"].append(len(enc))
             yield pd.DataFrame(rows)
     return df.mapInPandas(fn, schema=RESIZE_DDL)
+
+
+def render_serial_media(df: DataFrame) -> DataFrame:
+    """df(doc_id, ...) -> (doc_id, media): PNG serial plates — the planted
+    12-char string in the 5x7 glyph font with jitter + ink dropout
+    (``sources/image_corpus.py::render_serial_image``)."""
+    from ..sources.image_corpus import render_serial_image
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            media = [encode_png_gray(render_serial_image(int(d)))
+                     for d in b["doc_id"]]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
+    return df.select("doc_id").mapInPandas(fn, schema=RENDER_DDL)
+
+
+OCR_DDL = "doc_id bigint, text string, conf double"
+
+
+def ocr_serials(df: DataFrame, expect_chars: int = 12) -> DataFrame:
+    """df(doc_id, media) -> (doc_id, text, conf): real OCR on real pixels —
+    decode PNG, adaptive-threshold binarize, glyph segmentation,
+    nearest-template Hamming match (``functions/glyph_ocr.py``; the
+    EasyOCR-readtext analog, ``ocr_adapter_improved.py:639-811``).
+    ``conf`` is the worst per-glyph template similarity."""
+    from ..functions.glyph_ocr import recognize_text
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            texts, confs = [], []
+            for media in b["media"]:
+                img = decode_png_gray(bytes(media))
+                text, conf = recognize_text(K.adaptive_threshold(img),
+                                            expect_chars=expect_chars)
+                texts.append(text)
+                confs.append(conf)
+            yield pd.DataFrame({"doc_id": b["doc_id"], "text": texts,
+                                "conf": confs})
+    return df.mapInPandas(fn, schema=OCR_DDL)

@@ -1496,6 +1496,36 @@ ORDER BY doc_id
 """)
 
 
+def _q_image_ocr(spark, sf):
+    """Real OCR on real pixels (the P7 readtext analog at sandbox scale):
+    each doc's 12-char serial is rendered in the 5x7 glyph font (jitter +
+    ink dropout), PNG-encoded, then recovered by decode -> adaptive
+    threshold -> glyph segmentation -> nearest-template Hamming match.
+    The oracle recomputes the PLANTED string from md5 arithmetic — Spark
+    must read it off the pixels."""
+    from ..operators.image_extract import ocr_serials, render_serial_media
+    media = render_serial_media(_img_ids(spark, sf))
+    return (ocr_serials(media, expect_chars=12)
+            .select("doc_id", "text").orderBy("doc_id"))
+
+
+def _image_ocr_sql() -> str:
+    from ..functions.glyph_ocr import CHARSET
+    return f"""
+SELECT doc_id,
+       array_to_string(
+         [substr('{CHARSET}',
+                 1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || '_c' || (i - 1)), 1, 6))::BIGINT % 36 AS INT), 1)
+          FOR i IN range(1, 13)], '') AS text
+FROM documents WHERE doc_id < {_IMG_DOCS}
+ORDER BY doc_id
+"""
+
+
+_register("image_ocr", _q_image_ocr, _image_ocr_sql())
+
+
 # =========================================================================== #
 # 7. The extraction pipeline itself.  The driver-path corpus is closed-form   #
 #    (sources.derived), so the full pipeline — html strip + pdf layout +      #
@@ -2277,10 +2307,10 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
 # quantized embedding-dedup kernels), then the flagship extraction pair
-# (never displaced).  With 63 entries and a 50-row cap the 13 displaced
+# (never displaced).  With 64 entries and a 50-row cap the 14 displaced
 # are then all unchanged-since-r04 green entries.
 _FRONT = ["image_rois", "image_orientation", "image_decode_stats",
-          "image_resize",
+          "image_resize", "image_ocr",
           "pack_sequences", "quality_repetition", "pii_mask",
           "dedup_incremental", "events_asof", "events_sessionize",
           "length_quantiles",

@@ -89,3 +89,41 @@ def render_doc_image(doc_id: int, rotate: bool = False,
     if rotate and g["rot_quads"]:
         img = np.ascontiguousarray(np.rot90(img, g["rot_quads"]))
     return img
+
+
+# ----------------------------------------------------------- serial plates
+
+SERIAL_LEN = 12
+PLATE_H = 40
+
+
+def planted_serial(doc_id: int) -> str:
+    """The 12-char string drawn on the plate — pure md5 arithmetic, so the
+    oracle recomputes it in SQL (char i = CHARSET[H('c{i}') % 36])."""
+    from ..functions.glyph_ocr import CHARSET
+    return "".join(CHARSET[_h(doc_id, f"c{i}") % 36]
+                   for i in range(SERIAL_LEN))
+
+
+def render_serial_image(doc_id: int, scale: int = 2,
+                        dropout: float = 0.03) -> np.ndarray:
+    """uint8 grayscale serial plate: the planted string rendered in the
+    5x7 glyph font at ``scale`` with per-glyph vertical jitter (H('j{i}')
+    % 3 rows) and deterministic ink dropout — non-trivial but exactly
+    recoverable input for the template-match OCR."""
+    from ..functions.glyph_ocr import render_text_bitmap
+    text = planted_serial(doc_id)
+    jitter = [_h(doc_id, f"j{i}") % 3 for i in range(SERIAL_LEN)]
+    mask = render_text_bitmap(text, scale=scale, gap=2 * scale,
+                              jitter=jitter).astype(bool)
+    if dropout > 0:
+        rng = np.random.default_rng(doc_id)
+        mask &= rng.random(mask.shape) >= dropout
+    h, w = mask.shape
+    ys = np.arange(PLATE_H)[:, None]
+    xs = np.arange(w + 20)[None, :]
+    img = (215 + (xs * 7 + ys * 13) % 5).astype(np.uint8)
+    y0, x0 = (PLATE_H - h) // 2, 10
+    plate = img[y0:y0 + h, x0:x0 + w]
+    plate[mask] = 60
+    return img

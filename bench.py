@@ -363,7 +363,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "rolling_active_users_approx", "length_quantiles_approx",
              "dedup_embedding",
              # round-5 real image payload path (PNG codec + numpy kernels)
-             "image_rois", "image_orientation"]
+             "image_rois", "image_orientation", "image_ocr"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in

@@ -88,3 +88,13 @@ def test_blank_page_falls_back_to_fixed_bands(spark):
     rows = extract_rois(df).orderBy("roi_idx").collect()
     assert [(r.y0, r.y1) for r in rows] == [(48, 96), (96, 144), (0, 48)]
     assert extract_rois(df, fallback=False).count() == 0
+
+
+def test_ocr_serials_reads_planted_strings(spark, ids):
+    from apple_ocr_backend_spark.operators.image_extract import (
+        ocr_serials, render_serial_media)
+    from apple_ocr_backend_spark.sources.image_corpus import planted_serial
+    media = render_serial_media(ids)
+    for r in ocr_serials(media, expect_chars=12).collect():
+        assert r.text == planted_serial(r.doc_id)
+        assert r.conf > 0.5
