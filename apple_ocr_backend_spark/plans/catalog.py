@@ -1566,6 +1566,27 @@ _register("extract_pipeline_staged", _q_extract_staged, _extract_oracle())
 _register("extract_pipeline_fused", _q_extract_fused, _extract_oracle())
 
 
+def _q_extract_pixels(spark, sf):
+    """Fused extraction with the image branch on REAL pixels: image spans
+    join the binary media store on media_ref and the kernel OCRs the serial
+    off the decoded PNG plate (decode -> adaptive threshold -> glyph
+    segmentation -> template match) instead of parsing a token stream —
+    the north rule's "OCR-text span recovery for image media_refs"."""
+    from .pipeline import extract_docs_pixels
+    from ..sources.derived import media_from_documents
+    docs = docs_from_documents(spark, sf)
+    media = media_from_documents(spark, sf)
+    return _flatten(extract_docs_pixels(docs, media))
+
+
+def _pixels_oracle() -> str:
+    from .extract_oracle import pixels_oracle_sql
+    return pixels_oracle_sql()
+
+
+_register("extract_pipeline_pixels", _q_extract_pixels, _pixels_oracle())
+
+
 # =========================================================================== #
 # 8. Training-data pipeline extensions (round 3): deterministic sampling /    #
 #    splits, sequence packing, repetition quality, PII masking, incremental   #
@@ -2307,10 +2328,10 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
 # quantized embedding-dedup kernels), then the flagship extraction pair
-# (never displaced).  With 64 entries and a 50-row cap the 14 displaced
+# (never displaced).  With 65 entries and a 50-row cap the 15 displaced
 # are then all unchanged-since-r04 green entries.
 _FRONT = ["image_rois", "image_orientation", "image_decode_stats",
-          "image_resize", "image_ocr",
+          "image_resize", "image_ocr", "extract_pipeline_pixels",
           "pack_sequences", "quality_repetition", "pii_mask",
           "dedup_incremental", "events_asof", "events_sessionize",
           "length_quantiles",

@@ -105,6 +105,66 @@ _COMMON = "'C','F','G','D','M','P','V','W','X','Y'"
 _DISALLOWED = "OIZSBQGDT"
 
 
+def _html_pdf_ctes(html_min_words: int) -> str:
+    """html_rows + pdf_rows CTEs (over ``src``) — shared by the token-stream
+    and pixels oracles: the non-image branches are identical by design."""
+    return f"""\
+-- ======================= html span (offset 0) ============================ --
+html_rows AS (
+  SELECT doc_id, 0 AS off, 0 AS sp, 0 AS rnk, 'main_text' AS kind,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text,
+         CAST(NULL AS VARCHAR) AS media_ref
+  FROM src
+  WHERE len(regexp_extract_all(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                               '\\S+')) >= {html_min_words}
+),
+-- ======================= pdf span (offset 1) ============================= --
+pdf_rows AS (
+  SELECT doc_id, 1 AS off, 1 AS sp, 0 AS rnk, 'main_text' AS kind,
+         substring(text, 1, 60) || chr(10) || substring(text, 61, 60) AS text,
+         CAST(NULL AS VARCHAR) AS media_ref
+  FROM src
+  UNION ALL
+  SELECT doc_id, 1, 1, 1, 'main_text', substring(text, 121, 60),
+         CAST(NULL AS VARCHAR)
+  FROM src
+)"""
+
+
+def pixels_oracle_sql(html_min_words: int = 5) -> str:
+    """Oracle for ``extract_pipeline_pixels``: html/pdf identical to the
+    token-stream oracle; the image span resolves to exactly ONE ocr_text row
+    — the md5-derived serial itself — because the pixel recognizer reads the
+    rendered plate back exactly (no ambiguity expansion: the glyph font has
+    no confusable pairs by construction, tests/test_glyph_ocr.py).  DuckDB
+    recomputes the serial analytically; Spark must recover it from the PNG
+    payloads in the media store."""
+    return f"""
+WITH src AS (
+  SELECT printf('doc_%08d', doc_id) AS doc_id, text,
+         {SERIAL_SQL.format(id='doc_id')} AS serial
+  FROM documents
+),
+{_html_pdf_ctes(html_min_words)},
+ocr_rows AS (
+  SELECT doc_id, 2 AS off, 2 AS sp, 0 AS rnk, 'ocr_text' AS kind,
+         serial AS text, 'media://' || doc_id || '/0' AS media_ref
+  FROM src
+),
+allrows AS (
+  SELECT * FROM html_rows
+  UNION ALL SELECT * FROM pdf_rows
+  UNION ALL SELECT * FROM ocr_rows
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY off ASC, sp ASC, rnk ASC) - 1
+            AS INTEGER) AS ord,
+       kind, text, media_ref
+FROM allrows
+"""
+
+
 def extract_oracle_sql(html_min_words: int = 5,
                        early_stop_confidence: float = 0.90) -> str:
     """The full flagship oracle.  Output columns match `_flatten`:
@@ -153,26 +213,7 @@ WITH src AS (
 docs AS (
   SELECT doc_id, text, translate(serial, '0125', 'OIZS') AS noisy FROM src
 ),
--- ======================= html span (offset 0) ============================ --
-html_rows AS (
-  SELECT doc_id, 0 AS off, 0 AS sp, 0 AS rnk, 'main_text' AS kind,
-         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text,
-         CAST(NULL AS VARCHAR) AS media_ref
-  FROM docs
-  WHERE len(regexp_extract_all(trim(regexp_replace(text, '\\s+', ' ', 'g')),
-                               '\\S+')) >= {html_min_words}
-),
--- ======================= pdf span (offset 1) ============================= --
-pdf_rows AS (
-  SELECT doc_id, 1 AS off, 1 AS sp, 0 AS rnk, 'main_text' AS kind,
-         substring(text, 1, 60) || chr(10) || substring(text, 61, 60) AS text,
-         CAST(NULL AS VARCHAR) AS media_ref
-  FROM docs
-  UNION ALL
-  SELECT doc_id, 1, 1, 1, 'main_text', substring(text, 121, 60),
-         CAST(NULL AS VARCHAR)
-  FROM docs
-),
+{_html_pdf_ctes(html_min_words)},
 -- ======================= image span (offset 2) =========================== --
 meta AS (
   SELECT doc_id, noisy,

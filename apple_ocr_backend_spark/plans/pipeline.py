@@ -150,12 +150,93 @@ def _mono_kernel(cfg_dict: dict):
     return fn
 
 
+def _pixel_ocr(sub: pd.DataFrame, cfg) -> pd.DataFrame:
+    """image rows carrying a PNG ``payload`` -> validated ocr_text rows.
+
+    Real OCR on real pixels (the pixels-variant image branch): decode PNG ->
+    adaptive-threshold binarize -> glyph segmentation -> nearest-template
+    Hamming match (``functions/glyph_ocr.py``), then the SAME extended
+    validation + confidence gate the token path applies
+    (``app/utils/validation.py:119-214``; min_confidence,
+    ``ocr_adapter.py:253-254``).  One candidate per span (the recognizer is
+    exact on this corpus), so A1/A2 collapse to out_rank 0."""
+    import numpy as np
+    from ..functions import image_kernels as K
+    from ..functions import serials as S
+    from ..functions.glyph_ocr import recognize_text
+    from ..functions.png_codec import decode_png_gray
+
+    src = sub.reset_index(drop=True)
+    texts, confs = [], []
+    for p in src["payload"]:
+        if p is None:
+            texts.append("")
+            confs.append(0.0)
+            continue
+        img = decode_png_gray(bytes(p))
+        t, c = recognize_text(K.adaptive_threshold(img), expect_chars=12)
+        texts.append(t)
+        confs.append(c)
+    t = pd.Series(texts)
+    ok = (S.validate_extended(t)["is_valid"].to_numpy()
+          & (np.asarray(confs) >= cfg.min_confidence))
+    return pd.DataFrame({
+        "doc_id": src["doc_id"].to_numpy()[ok],
+        "span_pos": src["span_pos"].to_numpy()[ok],
+        "offset": src["offset"].to_numpy()[ok],
+        "out_rank": 0,
+        "kind": "ocr_text",
+        "text": t.to_numpy()[ok],
+        "media_ref": src["media_ref"].to_numpy()[ok],
+    })
+
+
+def _mono_kernel_pixels(cfg_dict: dict):
+    """Fused-mode mono kernel for the pixels variant: identical dispatch to
+    ``_mono_kernel`` except the image branch reads the joined PNG payload
+    instead of the token-stream text (which it provably ignores —
+    tests/test_extract_pixels.py corrupts it)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..config import ExtractConfig
+        from ..operators.assemble import extract_text_spans
+        from ..operators.html_extract import extract_html
+        from ..operators.pdf_extract import extract_pdf
+        cfg = ExtractConfig(**cfg_dict)
+        cols = ["doc_id", "span_pos", "offset", "media_ref", "text"]
+        out_cols = ["doc_id", "salt", "span_pos", "offset", "out_rank",
+                    "kind", "text", "media_ref"]
+        for b in batches:
+            if b.empty:
+                continue
+            kind = b["kind"].to_numpy()
+            parts = []
+            for k, kernel, kc in (
+                    ("text", lambda s: extract_text_spans(s), cols),
+                    ("html", lambda s: extract_html(s, cfg), cols),
+                    ("pdf", lambda s: extract_pdf(s, cfg), cols),
+                    ("image", lambda s: _pixel_ocr(s, cfg),
+                     cols + ["payload"])):
+                sub = b.loc[kind == k, kc]
+                if len(sub):
+                    parts.append(kernel(sub))
+            if not parts:
+                continue
+            out = pd.concat(parts, ignore_index=True)
+            if out.empty:
+                continue
+            out = out.merge(
+                b[["doc_id", "span_pos", "salt"]].drop_duplicates(),
+                on=["doc_id", "span_pos"], how="left")
+            yield out[out_cols]
+    return fn
+
+
 PARTIAL_SCHEMA = ("doc_id string, partial array<struct<offset:int,"
                   "span_pos:int,out_rank:int,kind:string,text:string,"
                   "media_ref:string>>")
 
 
-def _mono_partial_kernel(cfg_dict: dict):
+def _mono_partial_kernel(cfg_dict: dict, mono_factory=None):
     """Fused mode, phase-1 assembly folded into the kernel (mapInArrow).
 
     The input partitioning (doc_id, salt) already co-locates every row of a
@@ -185,7 +266,7 @@ def _mono_partial_kernel(cfg_dict: dict):
     the previous list-of-dicts construction as the one hot-path violation).
     """
     import numpy as np
-    mono = _mono_kernel(cfg_dict)
+    mono = (mono_factory or _mono_kernel)(cfg_dict)
 
     def fn(batches):
         import pyarrow as pa
@@ -479,3 +560,40 @@ def extract_docs(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG,
         return reassemble_partials(partials, docs)
     return reassemble(
         extract_rows(docs, cfg, mode, num_partitions, on_stage), docs)
+
+
+def extract_docs_pixels(docs: DataFrame, media: DataFrame,
+                        cfg: ExtractConfig = DEFAULT_CONFIG,
+                        num_partitions: int | None = None) -> DataFrame:
+    """Fused extraction with the image branch on REAL pixels: image spans
+    resolve their ``media_ref`` against the binary media store
+    (``sources.derived.media_from_documents``) and the kernel reads the
+    serial off the decoded PNG instead of a token stream — the north rule's
+    "OCR-text span recovery for image media_refs" as an actual pixel path.
+
+    Topology = fused + one payload equi-join:
+
+        docs ──explode_salted──┬─ image rows ──join(media, media_ref)──┐
+                               └─ other rows (payload null) ──────────┤
+        unionByName ──repartition(doc_id, salt)──ONE mapInArrow
+        (text/html/pdf kernels + pixel OCR) ──reassemble_partials
+
+    Scale: the join is 1 image row per doc against a same-cardinality store
+    — an equi-join that AQE plans as shuffle-hash; at 100 TB co-bucket both
+    tables on media_ref (``sources/bucketed.py``) and it is exchange-free on
+    the store side.  Payloads ride the (doc_id, salt) repartition exactly
+    once; non-image rows carry a null payload, adding no bytes."""
+    rows = explode_salted(docs, cfg)
+    img = (rows.filter(F.col("kind") == "image")
+           .join(media, "media_ref", "left")
+           .select("doc_id", "salt", "span_pos", "offset", "kind",
+                   "media_ref", "text", "payload"))
+    rest = (rows.filter(F.col("kind") != "image")
+            .select("doc_id", "salt", "span_pos", "offset", "kind",
+                    "media_ref", "text",
+                    F.lit(None).cast("binary").alias("payload")))
+    salted = repartition_salted(img.unionByName(rest), num_partitions)
+    partials = salted.mapInArrow(
+        _mono_partial_kernel(cfg.as_dict(), mono_factory=_mono_kernel_pixels),
+        schema=PARTIAL_SCHEMA)
+    return reassemble_partials(partials, docs)

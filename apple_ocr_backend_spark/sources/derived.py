@@ -83,3 +83,50 @@ def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             span("pdf", pdf, F.lit(None).cast("string"), 1),
             span("image", image, F.concat(F.lit("media://"), doc_id, F.lit("/0")), 2),
         ).alias("spans"))
+
+
+_MID_TABLE = str.maketrans(_MID_FROM, _MID_TO)
+_DIGIT_TABLE = str.maketrans(_MID_FROM, "012345")
+
+
+def serial_py(doc_id: int) -> str:
+    """Python twin of ``serial_expr`` — byte-identical by construction
+    (same md5 string, same translate tables); pinned against the Spark
+    expression in tests/test_extract_pixels.py."""
+    import hashlib
+    h = hashlib.md5(str(doc_id).encode()).hexdigest().upper()
+    return ("C" + h[0].translate(_DIGIT_TABLE)
+            + h[1:10].translate(_MID_TABLE) + h[10].translate(_DIGIT_TABLE))
+
+
+MEDIA_DDL = "media_ref string, payload binary"
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> media store (media_ref, payload): the binary side of the
+    interleaved corpus — each doc's image media_ref resolves to a real PNG
+    plate with the SAME md5-derived serial drawn in the 5x7 glyph font
+    (per-glyph jitter + ink dropout, ``sources/image_corpus.py``).
+
+    Datagen analog of the reference's image corpus generator
+    (``generate_image.py:247-316``): a map-only job at any scale.  In
+    production this table IS the object store manifest; co-bucket it with
+    the docs table on media_ref so the payload join in
+    ``plans.pipeline.extract_docs_pixels`` is exchange-free."""
+    import pandas as pd
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def fn(batches):
+        from ..functions.png_codec import encode_png_gray
+        from .image_corpus import render_serial_image
+        for b in batches:
+            if b.empty:
+                continue
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "media_ref": [f"media://doc_{i:08d}/0" for i in ids],
+                "payload": [encode_png_gray(
+                    render_serial_image(int(i), text=serial_py(int(i))))
+                    for i in ids]})
+    return d.mapInPandas(fn, schema=MEDIA_DDL)

@@ -106,13 +106,16 @@ def planted_serial(doc_id: int) -> str:
 
 
 def render_serial_image(doc_id: int, scale: int = 2,
-                        dropout: float = 0.03) -> np.ndarray:
-    """uint8 grayscale serial plate: the planted string rendered in the
-    5x7 glyph font at ``scale`` with per-glyph vertical jitter (H('j{i}')
-    % 3 rows) and deterministic ink dropout — non-trivial but exactly
-    recoverable input for the template-match OCR."""
+                        dropout: float = 0.03,
+                        text: str | None = None) -> np.ndarray:
+    """uint8 grayscale serial plate: the planted string (or an explicit
+    12-char ``text``) rendered in the 5x7 glyph font at ``scale`` with
+    per-glyph vertical jitter (H('j{i}') % 3 rows) and deterministic ink
+    dropout — non-trivial but exactly recoverable input for the
+    template-match OCR."""
     from ..functions.glyph_ocr import render_text_bitmap
-    text = planted_serial(doc_id)
+    if text is None:
+        text = planted_serial(doc_id)
     jitter = [_h(doc_id, f"j{i}") % 3 for i in range(SERIAL_LEN)]
     mask = render_text_bitmap(text, scale=scale, gap=2 * scale,
                               jitter=jitter).astype(bool)

@@ -363,7 +363,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "rolling_active_users_approx", "length_quantiles_approx",
              "dedup_embedding",
              # round-5 real image payload path (PNG codec + numpy kernels)
-             "image_rois", "image_orientation", "image_ocr"]
+             "image_rois", "image_orientation", "image_ocr",
+             "extract_pipeline_pixels"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in
@@ -395,10 +396,26 @@ def bench_extraction(spark, sf_dir: str, replicate: int,
     cores, so cold-run numbers say nothing about the 100 TB regime where
     stages run for minutes."""
     import statistics
-    from apple_ocr_backend_spark.plans.pipeline import extract_docs
+    from apple_ocr_backend_spark.plans.pipeline import (extract_docs,
+                                                        extract_docs_pixels)
     docs = replicated_docs(spark, sf_dir, replicate)
     n_docs = docs.count()
     out = {"n_docs": n_docs}
+    media = None
+    if "pixels" in modes:
+        # the pixels variant resolves image media_refs against the binary
+        # media store; replicated docs share the base corpus's payloads
+        # (a realistic media-dedup shape — the per-span OCR work is
+        # identical either way)
+        from apple_ocr_backend_spark.sources.derived import (
+            media_from_documents)
+        media = media_from_documents(spark, sf_dir)
+
+    def build(mode):
+        if mode == "pixels":
+            return extract_docs_pixels(docs, media)
+        return extract_docs(docs, mode=mode)
+
     for mode in modes:
         # clearCache between runs: the pipeline persist()s shared subplans,
         # and Spark's CacheManager matches structurally identical plans —
@@ -406,13 +423,13 @@ def bench_extraction(spark, sf_dir: str, replicate: int,
         # blocks and measures cache bandwidth, not the pipeline
         if iters > 1:
             spark.catalog.clearCache()
-            run_noop(extract_docs(docs, mode=mode))  # warmup
+            run_noop(build(mode))  # warmup
         times, steals = [], []
         for _ in range(iters):
             spark.catalog.clearCache()
             s0 = _steal_ticks()
             t0 = time.time()
-            run_noop(extract_docs(docs, mode=mode))
+            run_noop(build(mode))
             times.append(time.time() - t0)
             s1 = _steal_ticks()
             steals.append(s1 - s0 if s0 is not None and s1 is not None
@@ -486,27 +503,28 @@ def scaling_pair_mode() -> None:
     section): fused extraction at local[2] and local[8] on the identical
     replicated corpus, fresh JVM per master, per-iteration steal ticks."""
     reps = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
+    mode = os.environ.get("SPARK_GRAFT_BENCH_SCALING_MODE", "fused")
     pts = {m: child(f"local[{m}]", extraction_only=True, replicate=reps,
-                    modes="fused") for m in (2, 8)}
-    d2 = pts[2]["docs_per_sec_fused"]
-    d8 = pts[8]["docs_per_sec_fused"]
+                    modes=mode) for m in (2, 8)}
+    d2 = pts[2][f"docs_per_sec_{mode}"]
+    d8 = pts[8][f"docs_per_sec_{mode}"]
     eff = round((d8 / d2) / 4, 3)
-    report = {"n_docs": pts[8]["n_docs"], "replicate": reps,
+    report = {"n_docs": pts[8]["n_docs"], "replicate": reps, "mode": mode,
               "local2": pts[2], "local8": pts[8], "eff_2to8": eff}
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "5")
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            f"\n## Round-{rnd} N→4N re-pin (fused, local[2]→local[8])\n\n"
+            f"\n## Round-{rnd} N→4N re-pin ({mode}, local[2]→local[8])\n\n"
             f"Same protocol as the headline table ({report['n_docs']} "
             "docs, fresh JVM per master, warmup + median of 3, cache "
             f"cleared per iteration), re-measured on the round-{rnd} "
             "code:\n\n"
             "| master | docs/s | iters (s) | steal ticks/iter |\n"
             "|---|---|---|---|\n"
-            f"| local[2] | {d2} | {pts[2]['iters_fused']} | "
-            f"{pts[2]['steal_fused']} |\n"
-            f"| local[8] | {d8} | {pts[8]['iters_fused']} | "
-            f"{pts[8]['steal_fused']} |\n\n"
+            f"| local[2] | {d2} | {pts[2][f'iters_{mode}']} | "
+            f"{pts[2][f'steal_{mode}']} |\n"
+            f"| local[8] | {d8} | {pts[8][f'iters_{mode}']} | "
+            f"{pts[8][f'steal_{mode}']} |\n\n"
             f"Scaling efficiency 2→8 = **{eff}** "
             "(north-rule target ≥ 0.8).\n")
     print(json.dumps(report))
