@@ -108,23 +108,33 @@ def render_text_bitmap(text: str, scale: int = 2, gap: int = 4,
 
 def _pool_to_grid(mask: np.ndarray) -> np.ndarray:
     """Block-max downsample a tight glyph crop to the 7x5 template grid —
-    robust to scale, jitter, and dropped border pixels."""
+    robust to scale, jitter, and dropped border pixels.  reduceat over the
+    linspace bin starts is bit-identical to the per-cell slice-max (incl.
+    the at-least-one-row rule for crops smaller than the grid: equal
+    consecutive indices reduce to the single element, which is exactly the
+    ``max(y1, y0+1)`` slice) — fuzz-pinned in tests/test_glyph_ocr.py."""
     hh, ww = mask.shape
-    yb = np.linspace(0, hh, 8).astype(np.int64)
-    xb = np.linspace(0, ww, 6).astype(np.int64)
-    out = np.zeros((7, 5), dtype=np.uint8)
-    for r in range(7):
-        for c in range(5):
-            y0, y1 = yb[r], max(yb[r + 1], yb[r] + 1)
-            x0, x1 = xb[c], max(xb[c + 1], xb[c] + 1)
-            out[r, c] = mask[y0:y1, x0:x1].max(initial=0)
-    return out
+    yb = np.linspace(0, hh, 8).astype(np.int64)[:7]
+    xb = np.linspace(0, ww, 6).astype(np.int64)[:5]
+    rows = np.maximum.reduceat(mask, yb, axis=0)
+    return np.maximum.reduceat(rows, xb, axis=1)
+
+
+# flat int8 templates (36, 35), built lazily beside `templates()`
+_TEMPLATES_FLAT = None
+
+
+def _templates_flat() -> np.ndarray:
+    global _TEMPLATES_FLAT
+    if _TEMPLATES_FLAT is None:
+        _TEMPLATES_FLAT = templates().reshape(36, -1).astype(np.int8)
+    return _TEMPLATES_FLAT
 
 
 def _match(grid: np.ndarray) -> tuple[str, float]:
     """Nearest template by Hamming distance; confidence = 1 - dist/35."""
-    dists = np.abs(templates().astype(np.int8) - grid.astype(np.int8))
-    dists = dists.reshape(36, -1).sum(axis=1)
+    dists = np.abs(_templates_flat() - grid.reshape(-1).astype(np.int8))
+    dists = dists.sum(axis=1)
     best = int(np.argmin(dists))  # ties -> lowest CHARSET index
     return CHARSET[best], 1.0 - float(dists[best]) / 35.0
 
@@ -134,19 +144,26 @@ def _match_tight(tight: np.ndarray) -> tuple[str, float]:
     ink dropout can erase an entire edge row of a glyph (e.g. the bottom
     tip of V at small scale), which shrinks the tight bbox and misaligns
     the pooling bins.  Re-pool with a one-pixel empty pad on each edge and
-    keep the best match; the unpadded grid is tried first and wins ties,
-    so clean glyphs are unaffected."""
+    keep the best match; the unpadded grid is tried first and wins ties
+    (strict improvement to switch), so clean glyphs are unaffected."""
     h, w = tight.shape
     ch, conf = _match(_pool_to_grid(tight))
     if conf == 1.0:
         return ch, conf
+    grids = []
     for dy0, dy1, dx0, dx1 in ((1, 0, 0, 0), (0, 1, 0, 0),
                                (0, 0, 1, 0), (0, 0, 0, 1)):
         padded = np.zeros((h + dy0 + dy1, w + dx0 + dx1), dtype=tight.dtype)
         padded[dy0:dy0 + h, dx0:dx0 + w] = tight
-        pch, pconf = _match(_pool_to_grid(padded))
+        grids.append(_pool_to_grid(padded).reshape(-1))
+    # one batched distance table (4 pad variants x 36 templates)
+    d = np.abs(_templates_flat()[None, :, :]
+               - np.asarray(grids, dtype=np.int8)[:, None, :]).sum(axis=2)
+    best = d.argmin(axis=1)  # ties -> lowest CHARSET index per variant
+    for v in range(4):
+        pconf = 1.0 - float(d[v, best[v]]) / 35.0
         if pconf > conf:
-            ch, conf = pch, pconf
+            ch, conf = CHARSET[int(best[v])], pconf
     return ch, conf
 
 
@@ -166,17 +183,20 @@ def recognize_text(mask: np.ndarray, expect_chars: int | None = None,
     nz = np.flatnonzero(cols)
     band = band[:, nz[0]:nz[-1] + 1]
     cols = cols[nz[0]:nz[-1] + 1]
-    # gap segmentation: runs of >= min_gap empty columns split glyphs
-    empty = cols == 0
-    segs, start, gap_run = [], 0, 0
-    for x in range(len(cols)):
-        if empty[x]:
-            gap_run += 1
-        else:
-            if gap_run >= min_gap and x - gap_run > start:
-                segs.append((start, x - gap_run))
-                start = x
-            gap_run = 0
+    # gap segmentation: runs of >= min_gap empty columns split glyphs.
+    # Run bounds come from the diff of the empty mask (loop over the ~11
+    # gaps, not the ~170 columns); the band is tight-cropped so every
+    # empty run is interior and a trailing gap cannot exist.
+    empty = (cols == 0).astype(np.int8)
+    run_starts = np.flatnonzero(np.diff(np.concatenate(([0], empty)))
+                                == 1)
+    run_ends = np.flatnonzero(np.diff(np.concatenate((empty, [0])))
+                              == -1) + 1
+    segs, start = [], 0
+    for s, e in zip(run_starts, run_ends):
+        if e - s >= min_gap and s > start:
+            segs.append((start, int(s)))
+            start = int(e)
     segs.append((start, len(cols)))
     if expect_chars is not None and len(segs) != expect_chars:
         pitch = band.shape[1] / expect_chars

@@ -582,17 +582,15 @@ def extract_docs_pixels(docs: DataFrame, media: DataFrame,
     — an equi-join that AQE plans as shuffle-hash; at 100 TB co-bucket both
     tables on media_ref (``sources/bucketed.py``) and it is exchange-free on
     the store side.  Payloads ride the (doc_id, salt) repartition exactly
-    once; non-image rows carry a null payload, adding no bytes."""
+    once; non-image rows carry a null media_ref, which an equi-join never
+    matches, so they flow through the SAME left join with a null payload —
+    one subtree, no kind-split fork (a filter+union fork re-plans the
+    scan+explode upstream twice, doubling its cost)."""
     rows = explode_salted(docs, cfg)
-    img = (rows.filter(F.col("kind") == "image")
-           .join(media, "media_ref", "left")
-           .select("doc_id", "salt", "span_pos", "offset", "kind",
-                   "media_ref", "text", "payload"))
-    rest = (rows.filter(F.col("kind") != "image")
-            .select("doc_id", "salt", "span_pos", "offset", "kind",
-                    "media_ref", "text",
-                    F.lit(None).cast("binary").alias("payload")))
-    salted = repartition_salted(img.unionByName(rest), num_partitions)
+    joined = (rows.join(media, "media_ref", "left")
+              .select("doc_id", "salt", "span_pos", "offset", "kind",
+                      "media_ref", "text", "payload"))
+    salted = repartition_salted(joined, num_partitions)
     partials = salted.mapInArrow(
         _mono_partial_kernel(cfg.as_dict(), mono_factory=_mono_kernel_pixels),
         schema=PARTIAL_SCHEMA)

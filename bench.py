@@ -65,7 +65,12 @@ def replicated_docs(spark, sf_dir: str, replicate: int):
     JVM-side with distinct doc_ids (a map-only datagen, any-scale)."""
     from pyspark.sql import functions as F
     from apple_ocr_backend_spark.sources.derived import docs_from_documents
-    docs = docs_from_documents(spark, sf_dir)
+    # spread the 1-split scan before the span expressions: without this the
+    # whole datagen front (expressions + replication + explode + shuffle
+    # write) serializes in ONE task and caps measured scaling (PLANS.md
+    # round-5 pixels audit)
+    n = spark.sparkContext.defaultParallelism * 2
+    docs = docs_from_documents(spark, sf_dir, num_partitions=n)
     if replicate <= 1:
         return docs
     reps = spark.range(replicate).select(F.col("id").alias("rep"))

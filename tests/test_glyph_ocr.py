@@ -57,6 +57,31 @@ def test_empty_and_blank_inputs():
     assert recognize_text(np.zeros((10, 40), dtype=np.uint8)) == ("", 0.0)
 
 
+def test_pool_to_grid_matches_slice_max_reference():
+    """The reduceat pooling must be bit-identical to the per-cell slice-max
+    definition (incl. the at-least-one-row rule for crops smaller than the
+    7x5 grid)."""
+    from apple_ocr_backend_spark.functions.glyph_ocr import _pool_to_grid
+
+    def reference(mask):
+        hh, ww = mask.shape
+        yb = np.linspace(0, hh, 8).astype(np.int64)
+        xb = np.linspace(0, ww, 6).astype(np.int64)
+        out = np.zeros((7, 5), dtype=np.uint8)
+        for r in range(7):
+            for c in range(5):
+                y0, y1 = yb[r], max(yb[r + 1], yb[r] + 1)
+                x0, x1 = xb[c], max(xb[c + 1], xb[c] + 1)
+                out[r, c] = mask[y0:y1, x0:x1].max(initial=0)
+        return out
+
+    rng = np.random.default_rng(7)
+    for _ in range(2000):
+        hh, ww = int(rng.integers(1, 40)), int(rng.integers(1, 30))
+        m = (rng.random((hh, ww)) < 0.3).astype(np.uint8)
+        assert np.array_equal(_pool_to_grid(m), reference(m)), (hh, ww)
+
+
 def test_confidence_degrades_with_damage():
     mask = render_text_bitmap("HELLO0WORLD1", scale=2)
     _, clean = recognize_text(mask, expect_chars=12)
