@@ -51,7 +51,18 @@ def explode_salted(docs: DataFrame,
 def repartition_salted(rows: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Hash-repartition on (doc_id, salt): giant docs spread over the cluster,
     small docs stay together (one shuffle, reused by every downstream
-    per-(doc,salt) aggregation — reuse of the partitioning across stages)."""
-    if num_partitions:
-        return rows.repartition(num_partitions, "doc_id", "salt")
-    return rows.repartition("doc_id", "salt")
+    per-(doc,salt) aggregation — reuse of the partitioning across stages).
+
+    When ``num_partitions`` is not given, the count is pinned EXPLICITLY to
+    ``4 x defaultParallelism`` (= 4 task waves on every core) rather than
+    left to AQE: the stage downstream of this exchange is Python-kernel
+    compute-bound, where cost is per ROW, not per shuffle BYTE — AQE's
+    byte-based advisory target (8 MB, session.py) coalesced the 160k-doc
+    bench exchange to 12 partitions at local[8] = 1.5 task waves, leaving
+    half the cores idle in the tail wave (kernel stage 25.6 s; 32 explicit
+    partitions = 4 waves: 18.8 s, BENCH.md round-5 wave-balance study).
+    Pinning an explicit count disables AQE coalescing for exactly this one
+    exchange; byte-cost exchanges elsewhere keep the advisory behavior."""
+    if not num_partitions:
+        num_partitions = 4 * rows.sparkSession.sparkContext.defaultParallelism
+    return rows.repartition(num_partitions, "doc_id", "salt")
