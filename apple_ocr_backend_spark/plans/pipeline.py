@@ -585,9 +585,26 @@ def extract_docs_pixels(docs: DataFrame, media: DataFrame,
     once; non-image rows carry a null media_ref, which an equi-join never
     matches, so they flow through the SAME left join with a null payload —
     one subtree, no kind-split fork (a filter+union fork re-plans the
-    scan+explode upstream twice, doubling its cost)."""
+    scan+explode upstream twice, doubling its cost).
+
+    Null-key spread: Spark hash-partitions every NULL join key to the SAME
+    reduce partition (hash(null) = seed), so when the store is too big to
+    broadcast and the join becomes a shuffle join, the 2-of-3 non-image
+    rows would all funnel through ONE task — a width-skew AQE never splits
+    (the ~2/3-of-corpus partition is text, far under the 256 MB byte
+    threshold; the cost here is rows, not bytes — same failure shape as
+    the wave-balance study, PLANS.md round 5).  The join key is therefore
+    ``coalesce(media_ref, 'x-null:'||doc_id||':'||span_pos)``: sentinel
+    keys are per-row unique, spread uniformly, and can never equal a real
+    ``media://...`` ref, so join semantics are bit-identical.  At bench
+    scale the store auto-broadcasts and the sentinel is simply never
+    hashed; the guard is for the non-broadcastable regime."""
     rows = explode_salted(docs, cfg)
-    joined = (rows.join(media, "media_ref", "left")
+    jkey = F.coalesce(F.col("media_ref"), F.concat_ws(
+        ":", F.lit("x-null"), F.col("doc_id"), F.col("span_pos")))
+    joined = (rows.withColumn("__mkey", jkey)
+              .join(media.withColumnRenamed("media_ref", "__mkey"),
+                    "__mkey", "left")
               .select("doc_id", "salt", "span_pos", "offset", "kind",
                       "media_ref", "text", "payload"))
     salted = repartition_salted(joined, num_partitions)

@@ -96,3 +96,22 @@ def test_missing_media_drops_span_not_doc(spark, small_docs, media):
     assert "ocr_text" not in kinds
     assert kinds.get("main_text", 0) > 0
     assert out.count() == 40  # spine join keeps every doc
+
+
+def test_shuffle_join_regime_matches_broadcast_plan(spark, small_docs, media):
+    """The null-spreading sentinel join key exists for the regime where the
+    media store cannot broadcast (at bench scale the store auto-broadcasts
+    and the sentinel is never hashed).  Force that regime — broadcast off,
+    so the payload join runs as a shuffle join partitioned on the spread
+    key — and pin that the output is bit-identical to the broadcast plan:
+    sentinel keys never match a real media:// ref, and no span is lost or
+    duplicated by the key rewrite."""
+    base = extract_docs_pixels(small_docs, media).orderBy("doc_id").collect()
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = (extract_docs_pixels(small_docs, media)
+                  .orderBy("doc_id").collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert forced == base
