@@ -183,6 +183,21 @@ def dilate(img: np.ndarray, k: int = 3) -> np.ndarray:
     return _sliding_minmax(img, k, np.max)
 
 
+def despeckle(mask: np.ndarray, min_neighbors: int = 2) -> np.ndarray:
+    """Drop ink pixels whose 3x3 neighborhood (self included) holds fewer
+    than ``min_neighbors`` ink pixels — the binary median/denoise analog
+    of the reference's alternate preprocessing paths (isolated salt
+    speckle dies, multi-pixel strokes survive).  Used by the fallback OCR
+    sweep (``tesseract_adapter.py:86-158`` runs five preprocess paths for
+    the same reason: the primary binarization keeps noise the engine
+    can't segment through)."""
+    p = np.pad(mask, 1)
+    h, w = mask.shape
+    cnt = sum(p[dy:dy + h, dx:dx + w].astype(np.int16)
+              for dy in range(3) for dx in range(3))
+    return ((mask > 0) & (cnt >= min_neighbors)).astype(np.uint8)
+
+
 def tophat(img: np.ndarray, k: int = 15) -> np.ndarray:
     """White top-hat: img - open(img); isolates bright structures smaller
     than the kernel (the reference's tophat glare method,

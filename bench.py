@@ -369,6 +369,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "dedup_embedding",
              # round-5 real image payload path (PNG codec + numpy kernels)
              "image_rois", "image_orientation", "image_ocr",
+             "image_ocr_fallback",
              "extract_pipeline_pixels"]
     times = {}
     for name in names:

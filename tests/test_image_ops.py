@@ -98,3 +98,70 @@ def test_ocr_serials_reads_planted_strings(spark, ids):
     for r in ocr_serials(media, expect_chars=12).collect():
         assert r.text == planted_serial(r.doc_id)
         assert r.conf > 0.5
+
+
+def test_fallback_sweep_recovers_degraded_plates(spark, ids):
+    """P10: both single-pass reads fail on every degraded plate; the
+    (preprocess x segmentation) sweep recovers the planted string on all
+    of them (tesseract_adapter.py:86-237 semantics)."""
+    from apple_ocr_backend_spark.operators.image_extract import (
+        ocr_serials_fallback, render_degraded_serial_media)
+    from apple_ocr_backend_spark.sources.image_corpus import planted_serial
+    media = render_degraded_serial_media(ids)
+    rows = ocr_serials_fallback(media, expect_chars=12).collect()
+    assert len(rows) == N_DOCS
+    for r in rows:
+        assert r.text == planted_serial(r.doc_id), r.doc_id
+        assert 0.0 < r.conf <= 1.0
+        assert r.variant.startswith("despeckle")
+        assert 1 <= r.n_tried <= 5
+
+
+def test_fallback_needed_single_pass_fails_on_degraded():
+    """The degradation is real: without the sweep, neither gap
+    segmentation nor the fixed-pitch prior reads a single plate."""
+    from apple_ocr_backend_spark.functions import image_kernels as K
+    from apple_ocr_backend_spark.functions.glyph_ocr import recognize_text
+    from apple_ocr_backend_spark.sources.image_corpus import (
+        planted_serial, render_degraded_serial_image)
+    for d in range(N_DOCS):
+        b = K.adaptive_threshold(render_degraded_serial_image(d))
+        assert recognize_text(b, expect_chars=None)[0] != planted_serial(d)
+        assert recognize_text(b, expect_chars=12)[0] != planted_serial(d)
+
+
+def test_fallback_early_stops_on_clean_plates(spark, ids):
+    """O1 early stop: a fully-confident first pass ends the sweep, so the
+    overwhelming majority of clean plates cost exactly one pass (the rest
+    run the full ladder because their dropout nicked a glyph below
+    conf 1.0 — and still read correctly)."""
+    from apple_ocr_backend_spark.operators.image_extract import (
+        ocr_serials_fallback, render_serial_media)
+    from apple_ocr_backend_spark.sources.image_corpus import planted_serial
+    media = render_serial_media(ids)
+    rows = ocr_serials_fallback(media, expect_chars=12).collect()
+    for r in rows:
+        assert r.text == planted_serial(r.doc_id)
+        assert (r.n_tried == 1) == (r.conf == 1.0)
+    assert sum(r.n_tried == 1 for r in rows) >= int(0.9 * N_DOCS)
+
+
+def test_degraded_salt_is_isolated_and_despeckle_exact():
+    """The corpus contract that makes the sweep's answer exactly
+    checkable: every salt speck is isolated (removed by despeckle >= 2)
+    and off-glyph (despeckled ink is a subset of the 1px-dilated clean
+    glyph ink)."""
+    import numpy as np
+    from apple_ocr_backend_spark.functions import image_kernels as K
+    from apple_ocr_backend_spark.sources.image_corpus import (
+        render_degraded_serial_image, render_serial_image)
+    for d in range(0, N_DOCS, 7):
+        deg = render_degraded_serial_image(d)
+        clean_ink = (render_serial_image(d, scale=3, dropout=0.0)
+                     < 128).astype(np.uint8)
+        near = K.dilate(clean_ink, 3) > 0
+        ds = K.despeckle(K.adaptive_threshold(deg), 2)
+        assert not (ds.astype(bool) & ~near).any(), d
+        # and the degradation did add specks the raw mask still carries
+        raw = K.adaptive_threshold(deg)
+        assert (raw.astype(bool) & ~near).any(), d
