@@ -292,7 +292,8 @@ def smooth_profile(profile: np.ndarray, radius: int = 2) -> np.ndarray:
 
 def find_bands(profile: np.ndarray, img_h: int,
                min_height: int | None = None,
-               rel_threshold: float = 0.5) -> list[tuple[int, int, int]]:
+               rel_threshold: float = 0.5,
+               refine: bool = True) -> list[tuple[int, int, int]]:
     """Projection bands: smooth -> threshold at mean*rel_threshold ->
     contiguous runs -> boundary refinement on the RAW profile -> min-height
     filter.  Returns [(y0, y1, energy)] in position order; y1 exclusive.
@@ -300,7 +301,10 @@ def find_bands(profile: np.ndarray, img_h: int,
     Boundary refinement matters: smoothing spreads a hard band edge across
     ``radius`` rows, so each candidate run is snapped to the extent of
     raw-profile rows above a small fraction of the run's own peak — exact
-    recovery of hard-edged bands, stable on soft edges."""
+    recovery of hard-edged bands, stable on soft edges.  ``refine=False``
+    keeps the raw smoothed runs — a genuinely different band hypothesis
+    (edges spread by the smoothing radius) used as the second proposal
+    source for the NMS merge (P4)."""
     if min_height is None:
         min_height = max(15, img_h // 20)  # yolo_detector.py:429-438
     sm = smooth_profile(profile)
@@ -315,6 +319,10 @@ def find_bands(profile: np.ndarray, img_h: int,
     for s, e in zip(edges[::2], edges[1::2]):
         peak = raw[s:e].max()
         if peak <= 0:
+            continue
+        if not refine:
+            if e - s >= min_height:
+                bands.append((int(s), int(e), int(raw[s:e].sum())))
             continue
         lo = 0.05 * peak
         # snap: shrink to raw support, then grow while raw stays above lo
@@ -363,6 +371,35 @@ def filter_rois(bands: list[tuple[int, int, int]], img_w: int,
                 and energy > mean_row_energy * hgt * energy_rel):
             out.append((y0, y1, energy))
     return out
+
+
+def nms(boxes, scores, iou_threshold: float = 0.45) -> list[int]:
+    """Greedy non-maximum suppression (the ``cv2.dnn.NMSBoxes`` analog the
+    reference runs over YOLO detections, ``yolo_detector.py:337-378``):
+    ``boxes`` (N, 4) as [y0, x0, y1, x1] half-open, ``scores`` (N,).
+    Returns kept indices in descending-score order; equal scores keep the
+    earlier index (deterministic across platforms)."""
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    scores = np.asarray(scores, dtype=np.float64)
+    n = len(scores)
+    order = np.lexsort((np.arange(n), -scores))
+    areas = ((boxes[:, 2] - boxes[:, 0]).clip(min=0)
+             * (boxes[:, 3] - boxes[:, 1]).clip(min=0))
+    alive = np.ones(n, dtype=bool)
+    keep: list[int] = []
+    for i in order:
+        if not alive[i]:
+            continue
+        keep.append(int(i))
+        iy0 = np.maximum(boxes[i, 0], boxes[:, 0])
+        ix0 = np.maximum(boxes[i, 1], boxes[:, 1])
+        iy1 = np.minimum(boxes[i, 2], boxes[:, 2])
+        ix1 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = (iy1 - iy0).clip(min=0) * (ix1 - ix0).clip(min=0)
+        iou = inter / np.maximum(areas[i] + areas - inter, 1e-9)
+        alive &= iou <= iou_threshold
+        alive[i] = False
+    return keep
 
 
 def top_k_bands(bands: list[tuple[int, int, int]], k: int) -> list[tuple[int, int, int]]:

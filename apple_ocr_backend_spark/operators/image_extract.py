@@ -121,6 +121,64 @@ def extract_rois(df: DataFrame, top_k: int = 4,
     return df.mapInPandas(fn, schema=ROI_DDL)
 
 
+def extract_rois_nms(df: DataFrame, top_k: int = 4,
+                     iou_threshold: float = 0.45,
+                     fallback: bool = True) -> DataFrame:
+    """df(doc_id, media) -> one row per merged ROI box: P4's post-model
+    pipeline (``yolo_detector.py:140-378``) with real multi-source
+    proposals in place of the conv net.  TWO detectors propose scored
+    boxes over the same preprocessed mask — the refined projection bands
+    (P3) and the unrefined smoothed runs (band edges spread by the
+    smoothing radius: a coarser second hypothesis, the contour-fallback
+    analog) — each filtered by the F9 geometry gates, then greedy IoU NMS
+    (``functions/image_kernels.py::nms``, the cv2.dnn.NMSBoxes analog)
+    merges the proposal sets: coincident and radius-spread duplicates are
+    suppressed in favor of the refined (equal-or-higher-energy, listed
+    first) box.  Energy top-k of the survivors, emitted in position
+    order; the empty-proposal fallback is the reference's 3 fixed bands
+    (P5)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            docs, idxs, y0s, y1s = [], [], [], []
+            for doc, media in zip(b["doc_id"], b["media"]):
+                img = decode_png_gray(bytes(media))
+                img, _method = K.reduce_glare(img)
+                binm = K.adaptive_threshold(K.bilateral5(K.clahe(img)))
+                profile = K.row_projection(binm)
+                proposals = []
+                for refine in (True, False):  # refined first: wins ties
+                    cand = K.find_bands(profile, img.shape[0],
+                                        refine=refine)
+                    widths = [max(x1 - x0, 1) for x0, x1 in
+                              (K.band_x_extent(binm, b0, b1)
+                               for b0, b1, _ in cand)]
+                    kept = K.filter_rois(cand, img.shape[1], widths)
+                    for (y0, y1, energy) in kept:
+                        x0, x1 = K.band_x_extent(binm, y0, y1)
+                        proposals.append((y0, x0, y1, x1, energy))
+                if proposals:
+                    boxes = [(p[0], p[1], p[2], p[3]) for p in proposals]
+                    scores = [p[4] for p in proposals]
+                    keep = K.nms(boxes, scores, iou_threshold)[:top_k]
+                    rois = sorted((proposals[i][0], proposals[i][2])
+                                  for i in keep)
+                elif fallback:
+                    rois = [(y0, y1) for y0, y1, _
+                            in _default_bands(img.shape[0])]
+                else:
+                    rois = []
+                for i, (y0, y1) in enumerate(rois):
+                    docs.append(doc)
+                    idxs.append(i)
+                    y0s.append(y0)
+                    y1s.append(y1)
+            yield pd.DataFrame({"doc_id": docs, "roi_idx": idxs,
+                                "y0": y0s, "y1": y1s})
+    return df.mapInPandas(fn, schema=ROI_DDL)
+
+
 ORIENT_DDL = "doc_id bigint, angle int"
 
 

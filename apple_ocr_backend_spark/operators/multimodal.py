@@ -2,9 +2,11 @@
 
 The Spark-side plumbing is real — binary columns, Arrow-batched
 ``mapInPandas`` with the exact batch shape a decode/feature-extract stage
-needs — while the codec work itself is stubbed (this container has no
-image/audio libraries): `decode_image` raises ``NotImplementedError`` and the
-shipping path uses the deterministic signature extractor instead.
+needs — and ``decode_image`` is real for PNG and BMP via the from-scratch
+codecs (``functions/png_codec.py``, ``functions/bmp_codec.py``); formats
+that genuinely need an external library (JPEG/WebP/audio/video) raise
+``NotImplementedError`` and the shipping path falls back to the
+deterministic signature extractor.
 
 Reference analog: raw request bytes decoded per image
 (``cv2.imdecode(np.frombuffer(...))``, ``app/pipeline/ocr_adapter.py:105-108``)
@@ -41,12 +43,17 @@ def _codec_singleton():
 
 def decode_image(data: bytes):
     """bytes -> uint8 grayscale ndarray (cv2.imdecode analog).  Real for
-    PNG payloads; raises ValueError/NotImplementedError for formats the
-    environment has no codec for — callers catch and fall back."""
+    PNG and BMP payloads (from-scratch codecs, ``functions/png_codec.py``
+    and ``functions/bmp_codec.py``); raises
+    ValueError/NotImplementedError for formats the environment has no
+    codec for — callers catch and fall back."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _codec_singleton().decode_png_gray(data)
+    if data[:2] == b"BM":
+        from ..functions.bmp_codec import decode_bmp_gray
+        return decode_bmp_gray(data)
     raise NotImplementedError(
-        "only PNG payloads decode in this environment; install "
+        "only PNG/BMP payloads decode in this environment; install "
         "pillow/cv2 for JPEG/WebP and extend _codec_singleton")
 
 

@@ -1394,7 +1394,7 @@ def _q_image_rois(spark, sf):
     return extract_rois(media, top_k=4).orderBy("doc_id", "roi_idx")
 
 
-_register("image_rois", _q_image_rois, f"""
+_IMAGE_ROIS_SQL = f"""
 WITH docs AS (
   SELECT doc_id, 2 + {_hx('doc_id', 'n')} % 3 AS n_bands
   FROM documents WHERE doc_id < {_IMG_DOCS}
@@ -1415,7 +1415,24 @@ bands AS (
 )
 SELECT doc_id, roi_idx, CAST(y0 AS INT) AS y0, CAST(y0 + bh AS INT) AS y1
 FROM bands ORDER BY doc_id, roi_idx
-""")
+"""
+
+_register("image_rois", _q_image_rois, _IMAGE_ROIS_SQL)
+
+
+def _q_image_rois_nms(spark, sf):
+    """P4's post-model pipeline on real multi-source proposals: refined
+    projection bands + unrefined smoothed runs, F9-filtered, merged by
+    greedy IoU NMS (the cv2.dnn.NMSBoxes analog,
+    ``yolo_detector.py:337-378``) — the survivors must EXACTLY equal the
+    planted band geometry (the duplicate radius-spread hypotheses all
+    suppressed) for every document."""
+    from ..operators.image_extract import extract_rois_nms, render_media
+    media = render_media(_img_ids(spark, sf), rotate=False)
+    return extract_rois_nms(media, top_k=4).orderBy("doc_id", "roi_idx")
+
+
+_register("image_rois_nms", _q_image_rois_nms, _IMAGE_ROIS_SQL)
 
 
 def _q_image_orientation(spark, sf):
@@ -2349,9 +2366,10 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
 # quantized embedding-dedup kernels), then the flagship extraction pair
-# (never displaced).  With 66 entries and a 50-row cap the 16 displaced
+# (never displaced).  With 67 entries and a 50-row cap the 17 displaced
 # are then all unchanged-since-r04 green entries.
-_FRONT = ["image_rois", "image_orientation", "image_decode_stats",
+_FRONT = ["image_rois", "image_rois_nms", "image_orientation",
+          "image_decode_stats",
           "image_resize", "image_ocr", "image_ocr_fallback",
           "extract_pipeline_pixels",
           "pack_sequences", "quality_repetition", "pii_mask",

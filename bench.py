@@ -368,8 +368,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "rolling_active_users_approx", "length_quantiles_approx",
              "dedup_embedding",
              # round-5 real image payload path (PNG codec + numpy kernels)
-             "image_rois", "image_orientation", "image_ocr",
-             "image_ocr_fallback",
+             "image_rois", "image_rois_nms", "image_orientation",
+             "image_ocr", "image_ocr_fallback",
              "extract_pipeline_pixels"]
     times = {}
     for name in names:

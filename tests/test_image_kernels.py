@@ -142,3 +142,20 @@ def test_orientation_inverse_restores_upright(doc):
     angle = K.detect_orientation(img)
     upright = np.ascontiguousarray(np.rot90(img, -angle // 90))
     assert (upright == render_doc_image(doc, rotate=False)).all()
+
+
+def test_nms_greedy_suppression_and_ties():
+    from apple_ocr_backend_spark.functions.image_kernels import nms
+    # identical boxes: higher score wins; equal scores keep earlier index
+    boxes = [(0, 0, 10, 100), (0, 0, 10, 100), (50, 0, 60, 100)]
+    assert nms(boxes, [1.0, 2.0, 0.5]) == [1, 2]
+    assert nms(boxes, [2.0, 2.0, 0.5]) == [0, 2]
+    # radius-spread duplicate (IoU ~ 0.83) suppressed; disjoint box kept
+    boxes = [(10, 0, 30, 100), (8, 0, 32, 100), (70, 0, 90, 100)]
+    assert nms(boxes, [3.0, 3.0, 1.0]) == [0, 2]
+    # below the threshold nothing is suppressed
+    boxes = [(0, 0, 10, 100), (8, 0, 18, 100)]  # IoU = 2/18 ~ 0.11
+    assert sorted(nms(boxes, [1.0, 1.0], iou_threshold=0.1)) == [0]
+    assert sorted(nms(boxes, [1.0, 1.0], iou_threshold=0.45)) == [0, 1]
+    # empty input
+    assert nms(np.zeros((0, 4)), []) == []

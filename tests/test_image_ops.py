@@ -165,3 +165,19 @@ def test_degraded_salt_is_isolated_and_despeckle_exact():
         # and the degradation did add specks the raw mask still carries
         raw = K.adaptive_threshold(deg)
         assert (raw.astype(bool) & ~near).any(), d
+
+
+def test_extract_rois_nms_matches_planted_and_plain(spark, ids):
+    """P4 merge: dual-detector proposals + greedy IoU NMS land on exactly
+    the planted bands — and agree with the single-detector path."""
+    media = render_media(ids, rotate=False)
+    from apple_ocr_backend_spark.operators.image_extract import (
+        extract_rois_nms)
+    rows = extract_rois_nms(media, top_k=4).orderBy("doc_id", "roi_idx").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.y0, r.y1))
+    for doc in range(N_DOCS):
+        assert got[doc] == planted_geometry(doc)["bands"], doc
+    plain = extract_rois(media, top_k=4).orderBy("doc_id", "roi_idx").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in plain]
