@@ -115,3 +115,43 @@ def test_shuffle_join_regime_matches_broadcast_plan(spark, small_docs, media):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert forced == base
+
+
+def test_payload_join_bucketed_store_never_shuffles(spark, small_docs, media):
+    """The 100 TB regime the pipeline docstring promises: when the media
+    store outgrows broadcast, bucketing it on media_ref (one write-time
+    shuffle) makes the payload join exchange-free on the STORE side —
+    only the just-exploded spans shuffle.  Evidence: 1 shuffle exchange
+    with the bucketed store vs 2 without, identical join output."""
+    from apple_ocr_backend_spark.operators.skew import explode_salted
+    from apple_ocr_backend_spark.sources.bucketed import (count_exchanges,
+                                                          write_bucketed)
+    from apple_ocr_backend_spark.config import DEFAULT_CONFIG
+
+    rows = explode_salted(small_docs, DEFAULT_CONFIG)
+    jkey = F.coalesce(F.col("media_ref"), F.concat_ws(
+        ":", F.lit("x-null"), F.col("doc_id"), F.col("span_pos")))
+    spans = rows.withColumn("__mkey", jkey)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(media, "t_media_b", "media_ref", 8)
+        store = (spark.table("t_media_b")
+                 .withColumnRenamed("media_ref", "__mkey"))
+        j_bucketed = spans.join(store, "__mkey", "left")
+        j_plain = spans.join(media.withColumnRenamed("media_ref", "__mkey"),
+                             "__mkey", "left")
+        n_b, n_p = count_exchanges(j_bucketed), count_exchanges(j_plain)
+        # bucketed: exactly ONE shuffle — the just-exploded spans moving to
+        # the store's bucketing; the store side contributes zero (vs 3 for
+        # the unbucketed frame: both join sides + the render repartition
+        # inside media_from_documents, all paid at write time instead)
+        assert n_b == 1 and n_p > n_b, (n_b, n_p)
+        a = sorted((r.doc_id, r.span_pos, r.payload is not None)
+                   for r in j_bucketed.collect())
+        b = sorted((r.doc_id, r.span_pos, r.payload is not None)
+                   for r in j_plain.collect())
+        assert a == b and any(p for _, _, p in a)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_media_b")
