@@ -539,6 +539,167 @@ FROM checks
 """)
 
 
+# --------------------------------------------------------------------------- #
+# Client-side validation ladder (app/utils/client_validation.py:7-308):       #
+# position-aware digit->letter corrections, the client's OWN prefix sets      #
+# (including the OCR'd CO* forms of C0* — the pos-1 '0'->'O' correction       #
+# produces exactly those), pos-0 letter check, last-4-digit and middle-mix    #
+# warnings, confidence shaping (-0.05/correction, -0.03/warning, +0.10 known  #
+# prefix, clamp [0,1]) and the REJECT/BORDERLINE/ACCEPT ladder.  All          #
+# arithmetic in integer micro-units (the penalties are decimal constants, so  #
+# micro-units are exact; the catalog convention for floats that must hash).   #
+# --------------------------------------------------------------------------- #
+
+# client_validation.py:111-116 — verbatim set contents, re-derived
+_CK3 = ",".join(f"'{p}'" for p in
+                [f"C0{x}" for x in "23456789ABCDEF"]
+                + [f"CO{x}" for x in "23456789ABCDEF"])
+_CK2 = ",".join(f"'C{x}'" for x in "123456789ABCDEF")
+_CK1 = ",".join(f"'{c}'" for c in "DEFGHJKLMNPQRSTUVWXYZ")
+
+# per-position digit->letter correction maps (client_validation.py:38-108),
+# keyed by 0-based position: pos 0 corrects only 0/1, pos 1 adds 5,
+# pos 2-11 add 8
+_CPOS = {0: ("01", "OI"), 1: ("015", "OIS")}
+_CPOS_DEFAULT = ("0158", "OISB")
+
+
+def _client_corr_pair(pos: int):
+    return _CPOS.get(pos, _CPOS_DEFAULT)
+
+
+def _q_client_validate(spark, sf):
+    """The client-side validator as pure columnar expressions over clean,
+    OCR-corrupted, and truncated derived serials with a deterministic
+    per-row confidence (``(doc_id*7 + variant offset) % 101`` percent)."""
+    d = T(spark, sf, "documents")
+    parts = []
+    for variant, offs, sexpr in (
+            ("clean", 0, serial_expr(F.col("doc_id"))),
+            ("noisy", 13, corrupt_expr(serial_expr(F.col("doc_id")))),
+            ("short", 29, F.substring(serial_expr(F.col("doc_id")), 1, 8))):
+        parts.append(d.select(
+            "doc_id", F.lit(variant).alias("variant"), sexpr.alias("s"),
+            ((F.col("doc_id") * 7 + offs) % 101).alias("conf_pct")))
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    up = F.upper(F.trim(F.col("s")))
+    basic = up.rlike("^[A-Z0-9]{12}$")
+    corr_chars = []
+    n_corr = F.lit(0)
+    for pos in range(1, 13):
+        frm, to = _client_corr_pair(pos - 1)
+        ch = F.substring(up, pos, 1)
+        cc = F.translate(ch, frm, to)
+        corr_chars.append(cc)
+        n_corr = n_corr + (cc != ch).cast("int")
+    corrected = F.concat(*corr_chars)
+    known = (F.substring(corrected, 1, 3).isin(*_CK3.replace("'", "").split(","))
+             | F.substring(corrected, 1, 2).isin(*_CK2.replace("'", "").split(","))
+             | F.substring(corrected, 1, 1).isin(*_CK1.replace("'", "").split(",")))
+    pos0_err = ~F.substring(corrected, 1, 1).rlike("^[A-Z]$")
+    last4_warn = ~F.substring(corrected, 9, 4).rlike("[0-9]")
+    mid = F.substring(corrected, 4, 5)
+    mid_warn = ~(mid.rlike("[A-Z]") & mid.rlike("[0-9]"))
+    n_warn = last4_warn.cast("int") + mid_warn.cast("int")
+    req = (~known) | pos0_err | last4_warn | mid_warn
+    adj_q = F.greatest(F.lit(0), F.least(F.lit(1000000),
+            F.col("conf_pct") * 10000 - n_corr * 50000 - n_warn * 30000
+            + F.when(known, 100000).otherwise(0)))
+    level = (F.when(~basic, "reject")
+             .when((adj_q >= 850000) & ~req & known, "accept")
+             .when((adj_q >= 650000) & known, "borderline")
+             .otherwise("reject"))
+    is_valid = basic & (level != F.lit("reject")) & known
+    return (u.select(
+        "doc_id", "variant", "s",
+        is_valid.alias("is_valid"), level.alias("level"),
+        F.when(basic & (n_corr > 0), corrected).alias("corrected"),
+        F.when(basic, n_corr).otherwise(0).cast("int").alias("n_corrections"),
+        F.when(basic, n_warn).otherwise(0).cast("int").alias("n_warnings"),
+        F.when(basic, req).otherwise(F.lit(False))
+         .alias("requires_confirmation"),
+        F.when(basic, adj_q).cast("bigint").alias("conf_adj_q"),
+        (level == F.lit("accept")).alias("submit"))
+        .orderBy("doc_id", "variant"))
+
+
+def _client_validate_sql() -> str:
+    corr = []
+    ncorr = []
+    for pos in range(1, 13):
+        frm, to = _client_corr_pair(pos - 1)
+        corr.append(f"translate(substring(up,{pos},1),'{frm}','{to}')")
+        ncorr.append(f"(CASE WHEN translate(substring(up,{pos},1),"
+                     f"'{frm}','{to}') <> substring(up,{pos},1) "
+                     "THEN 1 ELSE 0 END)")
+    corrected = " || ".join(corr)
+    n_corr = " + ".join(ncorr)
+    base = SERIAL_SQL.format(id="doc_id")
+    return f"""
+WITH base AS (
+  SELECT doc_id, 'clean' AS variant, {base} AS s,
+         (doc_id * 7 + 0) % 101 AS conf_pct FROM documents
+  UNION ALL
+  SELECT doc_id, 'noisy' AS variant, {CORRUPT_SQL.format(s=base)} AS s,
+         (doc_id * 7 + 13) % 101 AS conf_pct FROM documents
+  UNION ALL
+  SELECT doc_id, 'short' AS variant, substring({base}, 1, 8) AS s,
+         (doc_id * 7 + 29) % 101 AS conf_pct FROM documents
+), norm AS (
+  SELECT doc_id, variant, s, conf_pct, upper(trim(s)) AS up FROM base
+), corr AS (
+  SELECT doc_id, variant, s, conf_pct,
+         regexp_matches(up, '^[A-Z0-9]{{12}}$') AS basic,
+         {corrected} AS corrected,
+         {n_corr} AS n_corr
+  FROM norm
+), checks AS (
+  SELECT *,
+         (substring(corrected,1,3) IN ({_CK3})
+          OR substring(corrected,1,2) IN ({_CK2})
+          OR substring(corrected,1,1) IN ({_CK1})) AS known,
+         NOT regexp_matches(substring(corrected,1,1), '^[A-Z]$') AS pos0_err,
+         NOT regexp_matches(substring(corrected,9,4), '[0-9]') AS last4_warn,
+         NOT (regexp_matches(substring(corrected,4,5), '[A-Z]')
+              AND regexp_matches(substring(corrected,4,5), '[0-9]'))
+           AS mid_warn
+  FROM corr
+), shaped AS (
+  SELECT *,
+         (CASE WHEN last4_warn THEN 1 ELSE 0 END
+          + CASE WHEN mid_warn THEN 1 ELSE 0 END) AS n_warn,
+         ((NOT known) OR pos0_err OR last4_warn OR mid_warn) AS req
+  FROM checks
+), adj AS (
+  SELECT *,
+         GREATEST(0, LEAST(1000000,
+           conf_pct * 10000 - n_corr * 50000 - n_warn * 30000
+           + CASE WHEN known THEN 100000 ELSE 0 END)) AS adj_q
+  FROM shaped
+), leveled AS (
+  SELECT *,
+         CASE WHEN NOT basic THEN 'reject'
+              WHEN adj_q >= 850000 AND NOT req AND known THEN 'accept'
+              WHEN adj_q >= 650000 AND known THEN 'borderline'
+              ELSE 'reject' END AS level
+  FROM adj
+)
+SELECT doc_id, variant, s,
+       (basic AND level <> 'reject' AND known) AS is_valid,
+       level,
+       CASE WHEN basic AND n_corr > 0 THEN corrected END AS corrected,
+       CAST(CASE WHEN basic THEN n_corr ELSE 0 END AS INT) AS n_corrections,
+       CAST(CASE WHEN basic THEN n_warn ELSE 0 END AS INT) AS n_warnings,
+       (basic AND req) AS requires_confirmation,
+       CAST(CASE WHEN basic THEN adj_q END AS BIGINT) AS conf_adj_q,
+       (level = 'accept') AS submit
+FROM leveled ORDER BY doc_id, variant
+"""
+
+
+_register("client_validate", _q_client_validate, _client_validate_sql())
+
+
 # =========================================================================== #
 # 3. Text analysis (documents)                                                #
 # =========================================================================== #
@@ -2366,12 +2527,12 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
 # quantized embedding-dedup kernels), then the flagship extraction pair
-# (never displaced).  With 67 entries and a 50-row cap the 17 displaced
+# (never displaced).  With 68 entries and a 50-row cap the 18 displaced
 # are then all unchanged-since-r04 green entries.
 _FRONT = ["image_rois", "image_rois_nms", "image_orientation",
           "image_decode_stats",
           "image_resize", "image_ocr", "image_ocr_fallback",
-          "extract_pipeline_pixels",
+          "extract_pipeline_pixels", "client_validate",
           "pack_sequences", "quality_repetition", "pii_mask",
           "dedup_incremental", "events_asof", "events_sessionize",
           "length_quantiles",

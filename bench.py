@@ -356,7 +356,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "quality_filter", "events_json", "dedup_exact",
              "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_components",
              "dedup_simhash", "ann_bruteforce", "ann_ivf", "ann_ivf_fitted",
-             "ann_ivf_nprobe", "serial_validate", "history_keyset",
+             "ann_ivf_nprobe", "serial_validate", "client_validate",
+             "history_keyset",
              "multimodal_frames",
              # round-3 training-pipeline entries
              "sample_split", "pack_sequences", "quality_repetition",

@@ -291,3 +291,77 @@ def test_clean_and_mask():
     assert list(K.clean_tokens(pd.Series([" c02y-95a8 jg5h!", None]))) == \
         ["C02Y95A8JG5H", ""]
     assert K.mask_serial(pd.Series(["C02Y95A8JG5H"]))[0] == "C02Y***JG5H"
+
+
+# ---------------------------------------------------------------- client path
+
+def _client_validate_py(serial: str, conf_pct: int):
+    """Direct re-derivation of the reference client validator's control
+    flow (app/utils/client_validation.py:147-308), micro-unit arithmetic.
+    Written from the reference's branches, NOT from the catalog entry —
+    an independent twin for the fuzz check."""
+    out = dict(is_valid=False, level="reject", corrected=None,
+               n_corrections=0, n_warnings=0, requires_confirmation=False,
+               conf_adj_q=None, submit=False)
+    cand = serial.strip().upper()
+    import re
+    if not re.match(r"^[A-Z0-9]{12}$", cand):
+        return out
+    pos_corr = {0: {"0": "O", "1": "I"},
+                1: {"0": "O", "1": "I", "5": "S"}}
+    default = {"0": "O", "1": "I", "5": "S", "8": "B"}
+    corrected, n_corr = [], 0
+    for i, ch in enumerate(cand):
+        m = pos_corr.get(i, default)
+        cc = m.get(ch, ch)
+        corrected.append(cc)
+        n_corr += cc != ch
+    cor = "".join(corrected)
+    k3 = {f"C0{x}" for x in "23456789ABCDEF"} | {f"CO{x}" for x in "23456789ABCDEF"}
+    k2 = {f"C{x}" for x in "123456789ABCDEF"}
+    k1 = set("DEFGHJKLMNPQRSTUVWXYZ")
+    known = cor[:3] in k3 or cor[:2] in k2 or cor[0] in k1
+    pos0_err = not cor[0].isalpha()
+    last4_warn = not any(c.isdigit() for c in cor[-4:])
+    mid = cor[3:8]
+    mid_warn = not (any(c.isalpha() for c in mid)
+                    and any(c.isdigit() for c in mid))
+    n_warn = int(last4_warn) + int(mid_warn)
+    req = (not known) or pos0_err or last4_warn or mid_warn
+    adj = max(0, min(1_000_000, conf_pct * 10_000 - n_corr * 50_000
+                     - n_warn * 30_000 + (100_000 if known else 0)))
+    if adj >= 850_000 and not req and known:
+        level = "accept"
+    elif adj >= 650_000 and known:
+        level = "borderline"
+    else:
+        level = "reject"
+    return dict(is_valid=level != "reject" and known,  # pos errors <= 1 always
+                level=level, corrected=cor if n_corr else None,
+                n_corrections=n_corr, n_warnings=n_warn,
+                requires_confirmation=req, conf_adj_q=adj,
+                submit=level == "accept")
+
+
+def test_client_validate_matches_reference_twin(spark):
+    """Fuzz the catalog entry against the independently written Python
+    twin of the reference's client validator over every derived row."""
+    from apple_ocr_backend_spark.plans.catalog import queries
+    rows = queries()["client_validate"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 1500  # 3 variants x >= 500 docs
+    seen_levels, seen_corr = set(), 0
+    for r in rows:
+        offs = {"clean": 0, "noisy": 13, "short": 29}[r.variant]
+        want = _client_validate_py(r.s, (r.doc_id * 7 + offs) % 101)
+        got = dict(is_valid=r.is_valid, level=r.level, corrected=r.corrected,
+                   n_corrections=r.n_corrections, n_warnings=r.n_warnings,
+                   requires_confirmation=r.requires_confirmation,
+                   conf_adj_q=r.conf_adj_q, submit=r.submit)
+        assert got == want, (r.doc_id, r.variant, r.s, got, want)
+        seen_levels.add(r.level)
+        seen_corr += r.n_corrections > 0
+    # the fixture actually exercises the ladder: all three levels occur and
+    # corrections fire (clean 'C0...' serials become 'CO...' -- the exact
+    # OCR form the reference's CO* prefix entries exist for)
+    assert seen_levels == {"accept", "borderline", "reject"}
+    assert seen_corr > 0
