@@ -232,3 +232,66 @@ def test_quality_score_matches_scalar_model(rows):
     got = list(K.quality_score(serial, conf))
     for (s, c), g in zip(rows, got):
         assert g == _quality_model(s, c), (s, c)
+
+
+# --------------------------------------------------------------------------- #
+# image kernels: NMS + despeckle invariants
+# --------------------------------------------------------------------------- #
+
+_box = st.tuples(st.integers(0, 80), st.integers(0, 80),
+                 st.integers(1, 60), st.integers(1, 60)).map(
+    lambda t: (t[0], t[1], t[0] + t[2], t[1] + t[3]))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(_box, st.floats(0, 1, allow_nan=False)),
+                min_size=0, max_size=12),
+       st.floats(0.05, 0.95))
+def test_nms_invariants(items, thr):
+    """Kept indices are unique and score-sorted; every surviving pair has
+    IoU <= threshold; every suppressed box overlaps some higher-or-equal
+    scored survivor above the threshold (greedy completeness)."""
+    import numpy as np
+    from apple_ocr_backend_spark.functions.image_kernels import nms
+    boxes = [b for b, _ in items]
+    scores = [s for _, s in items]
+    keep = nms(boxes, scores, thr)
+    assert len(set(keep)) == len(keep)
+    assert [scores[i] for i in keep] == sorted(
+        (scores[i] for i in keep), reverse=True)
+
+    def iou(a, b):
+        y0, x0 = max(a[0], b[0]), max(a[1], b[1])
+        y1, x1 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(0, y1 - y0) * max(0, x1 - x0)
+        aa = (a[2] - a[0]) * (a[3] - a[1])
+        ab = (b[2] - b[0]) * (b[3] - b[1])
+        return inter / max(aa + ab - inter, 1e-9)
+
+    for i in keep:
+        for j in keep:
+            if i < j:
+                assert iou(boxes[i], boxes[j]) <= thr + 1e-12
+    for i in range(len(boxes)):
+        if i not in keep:
+            assert any(iou(boxes[i], boxes[k]) > thr
+                       and (scores[k], -k) >= (scores[i], -i)
+                       for k in keep)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10**6), st.integers(2, 4))
+def test_despeckle_invariants(seed, min_neighbors):
+    """Output ink is a subset of input ink; fully isolated pixels always
+    die; a solid 3x3 block always survives any threshold <= 9."""
+    import numpy as np
+    from apple_ocr_backend_spark.functions.image_kernels import despeckle
+    rng = np.random.default_rng(seed)
+    mask = (rng.random((24, 36)) < 0.25).astype(np.uint8)
+    mask[10:13, 10:13] = 1          # solid block
+    mask[0, 0] = 1                  # corner pixel
+    mask[0, 1] = mask[1, 0] = mask[1, 1] = 0  # ...made isolated
+    out = despeckle(mask, min_neighbors)
+    assert not (out.astype(bool) & ~mask.astype(bool)).any()
+    assert out[0, 0] == 0
+    assert out[11, 11] == 1
