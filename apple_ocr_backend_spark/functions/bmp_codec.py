@@ -44,9 +44,14 @@ def decode_bmp_gray(data: bytes) -> np.ndarray:
     height."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP stream")
-    _, _, _, _, offset = _FILE_HDR.unpack_from(data, 0)
-    (hdr_size, w, h, planes, bpp, compression, _, _, _, n_colors,
-     _) = _INFO_HDR.unpack_from(data, _FILE_HDR.size)
+    try:
+        _, _, _, _, offset = _FILE_HDR.unpack_from(data, 0)
+        (hdr_size, w, h, planes, bpp, compression, _, _, _, n_colors,
+         _) = _INFO_HDR.unpack_from(data, _FILE_HDR.size)
+    except struct.error as e:
+        # decode_image's contract: malformed input raises ValueError so
+        # callers can catch and fall back (operators/multimodal.py)
+        raise ValueError(f"truncated BMP header: {e}") from e
     if compression != 0:
         raise NotImplementedError(f"compressed BMP (method {compression})")
     if bpp not in (8, 24):
@@ -54,6 +59,8 @@ def decode_bmp_gray(data: bytes) -> np.ndarray:
     top_down = h < 0
     h = abs(h)
     stride = ((w * bpp // 8) + 3) & ~3
+    if len(data) < offset + h * stride:
+        raise ValueError("truncated BMP pixel data")
     raw = np.frombuffer(data, dtype=np.uint8,
                         count=h * stride, offset=offset).reshape(h, stride)
     if not top_down:
@@ -61,11 +68,17 @@ def decode_bmp_gray(data: bytes) -> np.ndarray:
     if bpp == 8:
         pal_off = _FILE_HDR.size + hdr_size
         n = n_colors or 256
+        if len(data) < pal_off + n * 4:
+            raise ValueError("truncated BMP palette")
         pal = np.frombuffer(data, dtype=np.uint8, count=n * 4,
                             offset=pal_off).reshape(n, 4).astype(np.int32)
         # palette entries are BGRX; integer BT.601 luma as in png_codec
         luma = (pal[:, 2] * 299 + pal[:, 1] * 587 + pal[:, 0] * 114) // 1000
-        return luma.astype(np.uint8)[raw[:, :w]]
+        table = np.zeros(256, dtype=np.uint8)
+        # indices past a short palette decode to 0 (black), like tolerant
+        # real-world decoders, instead of crashing the scan stage
+        table[:n] = luma.astype(np.uint8)
+        return table[raw[:, :w]]
     bgr = raw[:, :w * 3].reshape(h, w, 3).astype(np.int32)
     luma = (bgr[:, :, 2] * 299 + bgr[:, :, 1] * 587 + bgr[:, :, 0] * 114) // 1000
     return np.ascontiguousarray(luma.astype(np.uint8))

@@ -191,11 +191,12 @@ def despeckle(mask: np.ndarray, min_neighbors: int = 2) -> np.ndarray:
     sweep (``tesseract_adapter.py:86-158`` runs five preprocess paths for
     the same reason: the primary binarization keeps noise the engine
     can't segment through)."""
-    p = np.pad(mask, 1)
+    ink = (mask > 0)
+    p = np.pad(ink, 1)
     h, w = mask.shape
     cnt = sum(p[dy:dy + h, dx:dx + w].astype(np.int16)
               for dy in range(3) for dx in range(3))
-    return ((mask > 0) & (cnt >= min_neighbors)).astype(np.uint8)
+    return (ink & (cnt >= min_neighbors)).astype(np.uint8)
 
 
 def tophat(img: np.ndarray, k: int = 15) -> np.ndarray:

@@ -34,20 +34,26 @@ from ..sources.image_corpus import render_doc_image
 RENDER_DDL = "doc_id bigint, media binary"
 
 
+def _render_media_from(df: DataFrame, render_fn) -> DataFrame:
+    """Shared batching shell for the synthetic media renderers:
+    df(doc_id, ...) -> (doc_id, media: binary PNG) via ``render_fn(doc_id)
+    -> uint8 ndarray``."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            media = [encode_png_gray(render_fn(int(d))) for d in b["doc_id"]]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
+    return df.select("doc_id").mapInPandas(fn, schema=RENDER_DDL)
+
+
 def render_media(df: DataFrame, rotate: bool = False,
                  glare: bool = True) -> DataFrame:
     """df(doc_id, ...) -> (doc_id, media: binary): deterministic synthetic
     PNG pages (the sandbox's stand-in for reading an image column off the
     table scan)."""
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if b.empty:
-                continue
-            media = [encode_png_gray(render_doc_image(int(d), rotate=rotate,
-                                                      glare=glare))
-                     for d in b["doc_id"]]
-            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
-    return df.select("doc_id").mapInPandas(fn, schema=RENDER_DDL)
+    return _render_media_from(
+        df, lambda d: render_doc_image(d, rotate=rotate, glare=glare))
 
 
 DECODE_STATS_DDL = ("doc_id bigint, height int, width int, ink_rows int, "
@@ -133,10 +139,16 @@ def extract_rois_nms(df: DataFrame, top_k: int = 4,
     analog) — each filtered by the F9 geometry gates, then greedy IoU NMS
     (``functions/image_kernels.py::nms``, the cv2.dnn.NMSBoxes analog)
     merges the proposal sets: coincident and radius-spread duplicates are
-    suppressed in favor of the refined (equal-or-higher-energy, listed
-    first) box.  Energy top-k of the survivors, emitted in position
-    order; the empty-proposal fallback is the reference's 3 fixed bands
-    (P5)."""
+    suppressed in favor of the refined box.  NMS ranks by energy DENSITY
+    (energy / band height, the per-row ink concentration): refinement
+    strips the sub-threshold tail rows smoothing spreads a band edge
+    into, so the refined hypothesis always scores at least as dense as
+    its unrefined twin — raw energy would instead favor the WIDER box
+    whenever faint tail rows carry any ink at all (the reference's NMS
+    likewise ranks by detector confidence, not box area).  Refined
+    proposals are listed first and win exact ties.  Energy top-k of the
+    survivors, emitted in position order; the empty-proposal fallback is
+    the reference's 3 fixed bands (P5)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if b.empty:
@@ -151,19 +163,22 @@ def extract_rois_nms(df: DataFrame, top_k: int = 4,
                 for refine in (True, False):  # refined first: wins ties
                     cand = K.find_bands(profile, img.shape[0],
                                         refine=refine)
-                    widths = [max(x1 - x0, 1) for x0, x1 in
-                              (K.band_x_extent(binm, b0, b1)
-                               for b0, b1, _ in cand)]
-                    kept = K.filter_rois(cand, img.shape[1], widths)
-                    for (y0, y1, energy) in kept:
-                        x0, x1 = K.band_x_extent(binm, y0, y1)
-                        proposals.append((y0, x0, y1, x1, energy))
+                    extents = [K.band_x_extent(binm, b0, b1)
+                               for b0, b1, _ in cand]
+                    widths = [max(x1 - x0, 1) for x0, x1 in extents]
+                    kept = set(K.filter_rois(cand, img.shape[1], widths))
+                    for band, (x0, x1) in zip(cand, extents):
+                        if band in kept:
+                            y0, y1, energy = band
+                            proposals.append((y0, x0, y1, x1, energy))
                 if proposals:
                     boxes = [(p[0], p[1], p[2], p[3]) for p in proposals]
-                    scores = [p[4] for p in proposals]
-                    keep = K.nms(boxes, scores, iou_threshold)[:top_k]
-                    rois = sorted((proposals[i][0], proposals[i][2])
-                                  for i in keep)
+                    scores = [p[4] / max(p[2] - p[0], 1) for p in proposals]
+                    keep = K.nms(boxes, scores, iou_threshold)
+                    survivors = [(proposals[i][0], proposals[i][2],
+                                  proposals[i][4]) for i in keep]
+                    rois = [(y0, y1) for y0, y1, _
+                            in K.top_k_bands(survivors, top_k)]
                 elif fallback:
                     rois = [(y0, y1) for y0, y1, _
                             in _default_bands(img.shape[0])]
@@ -229,15 +244,7 @@ def render_serial_media(df: DataFrame) -> DataFrame:
     12-char string in the 5x7 glyph font with jitter + ink dropout
     (``sources/image_corpus.py::render_serial_image``)."""
     from ..sources.image_corpus import render_serial_image
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if b.empty:
-                continue
-            media = [encode_png_gray(render_serial_image(int(d)))
-                     for d in b["doc_id"]]
-            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
-    return df.select("doc_id").mapInPandas(fn, schema=RENDER_DDL)
+    return _render_media_from(df, render_serial_image)
 
 
 OCR_DDL = "doc_id bigint, text string, conf double"
@@ -273,15 +280,7 @@ def render_degraded_serial_media(df: DataFrame) -> DataFrame:
     isolated background salt, ``sources/image_corpus.py::
     render_degraded_serial_image``) — the fallback sweep's input."""
     from ..sources.image_corpus import render_degraded_serial_image
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if b.empty:
-                continue
-            media = [encode_png_gray(render_degraded_serial_image(int(d)))
-                     for d in b["doc_id"]]
-            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
-    return df.select("doc_id").mapInPandas(fn, schema=RENDER_DDL)
+    return _render_media_from(df, render_degraded_serial_image)
 
 
 FALLBACK_DDL = ("doc_id bigint, text string, conf double, variant string, "
@@ -343,11 +342,16 @@ def ocr_serials_fallback(df: DataFrame, expect_chars: int = 12) -> DataFrame:
                         masks[dk],
                         expect_chars=expect_chars if fixed else None)
                     tried += 1
-                    if len(t) == expect_chars and (
-                            t not in cands or c > cands[t][0]):
-                        cands[t] = (c, name, tried)
-                    if c == 1.0:
-                        break
+                    if len(t) == expect_chars:
+                        if t not in cands or c > cands[t][0]:
+                            cands[t] = (c, name, tried)
+                        if c == 1.0:
+                            # early stop only on a confident HIT — a
+                            # fully-confident read that failed the length
+                            # filter is not a candidate and must not end
+                            # the sweep (the reference exits on a valid
+                            # result, tesseract_adapter.py:226-228)
+                            break
                 if cands:
                     text, (conf, variant, _) = max(
                         cands.items(), key=lambda kv: (kv[1][0], -kv[1][2]))

@@ -550,12 +550,15 @@ FROM checks
 # micro-units are exact; the catalog convention for floats that must hash).   #
 # --------------------------------------------------------------------------- #
 
-# client_validation.py:111-116 — verbatim set contents, re-derived
-_CK3 = ",".join(f"'{p}'" for p in
-                [f"C0{x}" for x in "23456789ABCDEF"]
-                + [f"CO{x}" for x in "23456789ABCDEF"])
-_CK2 = ",".join(f"'C{x}'" for x in "123456789ABCDEF")
-_CK1 = ",".join(f"'{c}'" for c in "DEFGHJKLMNPQRSTUVWXYZ")
+# client_validation.py:111-116 — verbatim set contents, re-derived; the
+# plain lists feed Spark isin(), the quoted strings are their SQL form
+_CK3_LIST = ([f"C0{x}" for x in "23456789ABCDEF"]
+             + [f"CO{x}" for x in "23456789ABCDEF"])
+_CK2_LIST = [f"C{x}" for x in "123456789ABCDEF"]
+_CK1_LIST = list("DEFGHJKLMNPQRSTUVWXYZ")
+_CK3 = ",".join(f"'{p}'" for p in _CK3_LIST)
+_CK2 = ",".join(f"'{p}'" for p in _CK2_LIST)
+_CK1 = ",".join(f"'{p}'" for p in _CK1_LIST)
 
 # per-position digit->letter correction maps (client_validation.py:38-108),
 # keyed by 0-based position: pos 0 corrects only 0/1, pos 1 adds 5,
@@ -593,9 +596,9 @@ def _q_client_validate(spark, sf):
         corr_chars.append(cc)
         n_corr = n_corr + (cc != ch).cast("int")
     corrected = F.concat(*corr_chars)
-    known = (F.substring(corrected, 1, 3).isin(*_CK3.replace("'", "").split(","))
-             | F.substring(corrected, 1, 2).isin(*_CK2.replace("'", "").split(","))
-             | F.substring(corrected, 1, 1).isin(*_CK1.replace("'", "").split(",")))
+    known = (F.substring(corrected, 1, 3).isin(*_CK3_LIST)
+             | F.substring(corrected, 1, 2).isin(*_CK2_LIST)
+             | F.substring(corrected, 1, 1).isin(*_CK1_LIST))
     pos0_err = ~F.substring(corrected, 1, 1).rlike("^[A-Z]$")
     last4_warn = ~F.substring(corrected, 9, 4).rlike("[0-9]")
     mid = F.substring(corrected, 4, 5)
@@ -2521,8 +2524,9 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # harness re-running its full golden set every run,
 # app/services/eval.py:41-182).
 #
-# Round-5 FRONT: the brand-new image-path entries (no prior driver
-# row exists), then the 7 entries absent from CORRECTNESS_r04.json, then
+# Round-5 FRONT: the brand-new entries (no prior driver row exists: the
+# seven image-path entries and client_validate), then the 7 entries
+# absent from CORRECTNESS_r04.json, then
 # training_mix, then the round-5 approx siblings, then every entry whose
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the

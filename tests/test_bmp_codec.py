@@ -75,3 +75,21 @@ def test_errors():
     struct.pack_into("<I", data, 14 + 16, 1)  # compression = RLE8
     with pytest.raises(NotImplementedError, match="compressed"):
         decode_bmp_gray(bytes(data))
+
+
+def test_truncated_bmp_raises_valueerror_not_struct_error():
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_gray(b"BM" + b"\x00" * 10)
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_bmp_gray(img)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_gray(data[:len(data) - 16])
+
+
+def test_out_of_palette_indices_decode_to_black():
+    # 1x2 8-bit BMP with a 2-entry palette but a pixel index of 7
+    img = np.array([[1, 7]], dtype=np.uint8)
+    data = bytearray(encode_bmp_gray(img))
+    struct.pack_into("<I", data, 14 + 32, 2)  # biClrUsed = 2
+    got = decode_bmp_gray(bytes(data))
+    assert got[0, 0] == 1 and got[0, 1] == 0

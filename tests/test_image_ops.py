@@ -181,3 +181,50 @@ def test_extract_rois_nms_matches_planted_and_plain(spark, ids):
         assert got[doc] == planted_geometry(doc)["bands"], doc
     plain = extract_rois(media, top_k=4).orderBy("doc_id", "roi_idx").collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in plain]
+
+
+def test_nms_soft_edge_prefers_refined_band(spark):
+    """Review regression: on a band with faint sub-refine-threshold tail
+    rows, the unrefined run carries strictly MORE raw energy (it includes
+    the tails), so raw-energy NMS scoring would keep the coarser box.
+    Density scoring keeps the refined one — output must equal
+    extract_rois."""
+    import numpy as np
+    from apple_ocr_backend_spark.functions.png_codec import encode_png_gray
+    from apple_ocr_backend_spark.operators.image_extract import (
+        extract_rois_nms)
+    img = np.full((144, 256), 216, dtype=np.uint8)
+    img[40:70, 16:240] = 60
+    img[37:40, 16:240:32] = 60   # faint tails: < 5% of the peak row ink
+    img[70:73, 16:240:32] = 60
+    df = spark.createDataFrame([(0, bytearray(encode_png_gray(img)))],
+                               "doc_id long, media binary")
+    got_nms = [(r.y0, r.y1) for r in
+               extract_rois_nms(df).orderBy("roi_idx").collect()]
+    got_plain = [(r.y0, r.y1) for r in
+                 extract_rois(df).orderBy("roi_idx").collect()]
+    assert got_nms == got_plain == [(40, 70)]
+
+
+def test_fallback_confident_nonlength_read_does_not_abort_sweep(spark):
+    """Review regression: a fully-confident read that fails the 12-char
+    length filter is NOT a hit — the sweep must continue (and, with the
+    fixed-pitch prior forcing 12 segments, still emit a 12-char
+    candidate)."""
+    import numpy as np
+    from apple_ocr_backend_spark.functions.glyph_ocr import (
+        render_text_bitmap)
+    from apple_ocr_backend_spark.functions.png_codec import encode_png_gray
+    from apple_ocr_backend_spark.operators.image_extract import (
+        ocr_serials_fallback)
+    # clean 13-char plate: pass 1 (plain_gap) reads it at conf 1.0
+    mask = render_text_bitmap("C02Y95A8JG5HX", scale=3, gap=6).astype(bool)
+    h, w = mask.shape
+    img = np.full((h + 10, w + 20), 216, dtype=np.uint8)
+    img[5:5 + h, 10:10 + w][mask] = 60
+    df = spark.createDataFrame([(0, bytearray(encode_png_gray(img)))],
+                               "doc_id long, media binary")
+    r = ocr_serials_fallback(df, expect_chars=12).collect()[0]
+    assert r.n_tried == 5          # no early abort on the non-candidate
+    assert len(r.text) == 12       # fixed-pitch candidates still recorded
+    assert r.conf < 1.0
