@@ -346,11 +346,14 @@ def ocr_serials_fallback(df: DataFrame, expect_chars: int = 12) -> DataFrame:
                         if t not in cands or c > cands[t][0]:
                             cands[t] = (c, name, tried)
                         if c == 1.0:
-                            # early stop only on a confident HIT — a
-                            # fully-confident read that failed the length
-                            # filter is not a candidate and must not end
-                            # the sweep (the reference exits on a valid
-                            # result, tesseract_adapter.py:226-228)
+                            # early stop only on a confident HIT — in the
+                            # reference only validity-filtered reads become
+                            # candidates at all (tesseract_adapter.py:
+                            # 224-226) and early stop keys on the best
+                            # CANDIDATE's confidence (O1,
+                            # ocr_adapter_improved.py:1432-1456); a
+                            # confident read that failed the length filter
+                            # is not a candidate and must not end the sweep
                             break
                 if cands:
                     text, (conf, variant, _) = max(
