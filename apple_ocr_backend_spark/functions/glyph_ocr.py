@@ -93,8 +93,13 @@ def render_text_bitmap(text: str, scale: int = 2, gap: int = 4,
     """0/1 ink bitmap of ``text`` at integer ``scale`` with ``gap`` blank
     columns between glyphs and optional per-glyph vertical jitter (rows
     shifted down by jitter[i]; canvas grows by max jitter)."""
-    jitter = jitter or [0] * len(text)
     gh, gw = 7 * scale, 5 * scale
+    if not text:
+        return np.zeros((gh, 0), dtype=np.uint8)
+    jitter = list(jitter or [])
+    # pad (never truncate) so text longer than the caller's jitter list
+    # still renders every glyph instead of silently dropping the tail
+    jitter += [0] * (len(text) - len(jitter))
     h = gh + max(jitter)
     w = len(text) * (gw + gap) - gap
     out = np.zeros((h, w), dtype=np.uint8)

@@ -71,17 +71,6 @@ def adaptive_threshold(img: np.ndarray, block: int | None = None,
 
 # ---------------------------------------------------------------- contrast
 
-def equalize_hist(img: np.ndarray) -> np.ndarray:
-    """Global histogram equalization (CDF remap) on uint8."""
-    hist = np.bincount(img.reshape(-1), minlength=256)
-    cdf = np.cumsum(hist)
-    nz = cdf[cdf > 0]
-    if len(nz) == 0 or cdf[-1] == nz[0]:
-        return img.copy()
-    lut = np.round((cdf - nz[0]) * 255.0 / (cdf[-1] - nz[0])).clip(0, 255)
-    return lut.astype(np.uint8)[img]
-
-
 def clahe(img: np.ndarray, tiles: int = 8, clip_limit: float = 2.0) -> np.ndarray:
     """Contrast-limited adaptive histogram equalization: per-tile clipped
     CDF LUTs, bilinearly interpolated between the four surrounding tile
@@ -338,12 +327,16 @@ def find_bands(profile: np.ndarray, img_h: int,
             ye += 1
         if ye - ys >= min_height:
             bands.append((int(ys), int(ye), int(raw[ys:ye].sum())))
-    # merge duplicates produced by snapping two runs onto the same support
+    # merge duplicates produced by snapping two runs onto the same support;
+    # the merged extent's energy is recomputed over the union (keeping the
+    # first band's energy would understate it and mis-rank/mis-filter the
+    # merged band downstream)
     merged: list[tuple[int, int, int]] = []
     for b in sorted(bands):
         if merged and b[0] < merged[-1][1]:
             prev = merged[-1]
-            merged[-1] = (prev[0], max(prev[1], b[1]), prev[2])
+            y1 = max(prev[1], b[1])
+            merged[-1] = (prev[0], y1, int(raw[prev[0]:y1].sum()))
         else:
             merged.append(b)
     return merged

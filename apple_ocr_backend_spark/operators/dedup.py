@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from ..functions.text import tokens as _text_tokens, word_shingles
+from ..functions.text import word_shingles
 
 
 # --------------------------------------------------------------------------- #
@@ -233,18 +233,25 @@ def benchmark_overlap(corpus: DataFrame, benchmark: DataFrame,
     the null pads), which is not an n-gram and would let a 2-word doc
     "contaminate" on a 2-word prefix match (round-4 advice: the DuckDB
     oracle's list comprehension yields NULL for the same window, so the
-    two engines diverged exactly on these rows).
+    two engines diverged exactly on these rows).  The exclusion filters
+    the exploded SHINGLE on its own word count rather than pre-filtering
+    docs on a second full tokenization — tokenizing is the dominant cost
+    of every shingle operator, and a short doc's single partial shingle
+    is cheap to drop after the fact (a doc whose only shingle is dropped
+    contributes no rows at all, identical to the doc-level filter).
     """
-    full = F.size(_text_tokens(F.col(text_col))) >= shingle_n
-    bench_sh = (benchmark.filter(full)
+    partial_ok = F.size(F.split(F.col("shingle"), " ")) == shingle_n
+    bench_sh = (benchmark
                 .select(F.explode(word_shingles(F.col(text_col), shingle_n))
                         .alias("shingle"))
+                .filter(partial_ok)
                 .distinct())
-    corpus_sh = (corpus.filter(full)
+    corpus_sh = (corpus
                  .select(F.col(id_col).alias("id"),
                          F.explode(word_shingles(F.col(text_col),
                                                  shingle_n))
                          .alias("shingle"))
+                 .filter(partial_ok)
                  .dropDuplicates(["id", "shingle"]))
     sizes = corpus_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_doc"))
     hits = (corpus_sh.join(F.broadcast(bench_sh), "shingle")

@@ -9,9 +9,11 @@ that genuinely need an external library (JPEG/WebP/audio/video) raise
 deterministic signature extractor.
 
 Reference analog: raw request bytes decoded per image
-(``cv2.imdecode(np.frombuffer(...))``, ``app/pipeline/ocr_adapter.py:105-108``)
-and the per-process model singleton (``ocr_adapter_improved.py:19-70``) —
-here `_codec_singleton` shows the same lazy per-worker init pattern.
+(``cv2.imdecode(np.frombuffer(...))``, ``app/pipeline/ocr_adapter.py:105-108``).
+The reference's per-process model singleton (``ocr_adapter_improved.py:
+19-70``) lives where per-worker init is actually expensive — the glyph
+template cache in ``functions/glyph_ocr.py`` — module imports themselves
+are already cached per worker by Python.
 """
 
 from __future__ import annotations
@@ -23,22 +25,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-_CODEC = None
-
 MEDIA_META_DDL = "doc_id bigint, n_bytes bigint, sig string"
-
-
-def _codec_singleton():
-    """Lazy per-worker init (loaded once per Python worker process, like the
-    reference's EasyOCR reader singleton, ``ocr_adapter_improved.py:19-70``).
-    PNG decodes through the from-scratch stdlib codec
-    (``functions/png_codec.py``); other container formats (JPEG/WebP/...)
-    still need an external library and raise until one is installed."""
-    global _CODEC
-    if _CODEC is None:
-        from ..functions import png_codec
-        _CODEC = png_codec
-    return _CODEC
 
 
 def decode_image(data: bytes):
@@ -48,13 +35,14 @@ def decode_image(data: bytes):
     ValueError/NotImplementedError for formats the environment has no
     codec for — callers catch and fall back."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
-        return _codec_singleton().decode_png_gray(data)
+        from ..functions.png_codec import decode_png_gray
+        return decode_png_gray(data)
     if data[:2] == b"BM":
         from ..functions.bmp_codec import decode_bmp_gray
         return decode_bmp_gray(data)
     raise NotImplementedError(
         "only PNG/BMP payloads decode in this environment; install "
-        "pillow/cv2 for JPEG/WebP and extend _codec_singleton")
+        "pillow/cv2 for JPEG/WebP and extend decode_image")
 
 
 def _signature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

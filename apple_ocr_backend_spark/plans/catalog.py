@@ -482,9 +482,12 @@ FROM s
 """)
 
 
-_K1 = "'C','F','G','M','P','V','W','X','Y'"
-_K2 = "'DM','DN','FK','G8','QP','RN','RM','SG','VM','YM'"
-_K3 = "'C07','C17','C1M','C2V','F4N','F5K','FC7','G8V','QT4'"
+_K1_LIST = list("CFGMPVWXY")
+_K2_LIST = ["DM", "DN", "FK", "G8", "QP", "RN", "RM", "SG", "VM", "YM"]
+_K3_LIST = ["C07", "C17", "C1M", "C2V", "F4N", "F5K", "FC7", "G8V", "QT4"]
+_K1 = ",".join(f"'{p}'" for p in _K1_LIST)
+_K2 = ",".join(f"'{p}'" for p in _K2_LIST)
+_K3 = ",".join(f"'{p}'" for p in _K3_LIST)
 _COMMON = "'C','F','G','D','M','P','V','W','X','Y'"
 
 
@@ -499,9 +502,9 @@ def _q_serial_validate(spark, sf):
     u = clean.unionByName(noisy)
     up = F.upper(F.trim(F.col("s")))
     basic = up.rlike("^[A-Z0-9]{12}$")
-    known = (F.substring(up, 1, 1).isin(*_K1.replace("'", "").split(","))
-             | F.substring(up, 1, 2).isin(*_K2.replace("'", "").split(","))
-             | F.substring(up, 1, 3).isin(*_K3.replace("'", "").split(",")))
+    known = (F.substring(up, 1, 1).isin(*_K1_LIST)
+             | F.substring(up, 1, 2).isin(*_K2_LIST)
+             | F.substring(up, 1, 3).isin(*_K3_LIST))
     e1 = (~F.substring(up, 1, 1).isin(*_COMMON.replace("'", "").split(","))).cast("int")
     e2 = (~F.substring(up, 1, 1).rlike("^[A-Z]$")).cast("int")
     e3 = (~F.substring(up, 2, 1).rlike("^[0-9]$")).cast("int")

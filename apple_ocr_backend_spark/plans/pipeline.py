@@ -107,7 +107,7 @@ def _ocr_pass_kernel(cfg_dict: dict):
     return fn
 
 
-def _mono_kernel(cfg_dict: dict):
+def _mono_kernel(cfg_dict: dict, image_branch=None):
     """Fused mode: ONE mapInPandas pass over all span rows, dispatching to the
     four kernels inside the batch (exactly the oracle's per-batch shape).
 
@@ -115,6 +115,12 @@ def _mono_kernel(cfg_dict: dict):
     concurrent UDF stages + a JVM branch union ran at ~0.5 scaling efficiency
     8->32 cores while a single UDF stage ran at ~0.65+; one stage also means
     one Arrow round-trip and one task wave per partition instead of three.
+
+    ``image_branch`` optionally overrides the image-kind kernel as
+    ``(kernel, extra_cols)`` — ``kernel(sub, cfg)`` over the image rows
+    with ``extra_cols`` appended to their input columns (the pixels
+    variant reads a joined PNG ``payload``); default is the token-stream
+    ``recover_ocr``.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..config import ExtractConfig
@@ -126,16 +132,19 @@ def _mono_kernel(cfg_dict: dict):
         cols = ["doc_id", "span_pos", "offset", "media_ref", "text"]
         out_cols = ["doc_id", "salt", "span_pos", "offset", "out_rank",
                     "kind", "text", "media_ref"]
+        img_kernel, img_extra = image_branch or (recover_ocr, [])
         for b in batches:
             if b.empty:
                 continue
             kind = b["kind"].to_numpy()
             parts = []
-            for k, kernel in (("text", lambda s: extract_text_spans(s)),
-                              ("html", lambda s: extract_html(s, cfg)),
-                              ("pdf", lambda s: extract_pdf(s, cfg)),
-                              ("image", lambda s: recover_ocr(s, cfg))):
-                sub = b.loc[kind == k, cols]
+            for k, kernel, kc in (
+                    ("text", lambda s: extract_text_spans(s), cols),
+                    ("html", lambda s: extract_html(s, cfg), cols),
+                    ("pdf", lambda s: extract_pdf(s, cfg), cols),
+                    ("image", lambda s: img_kernel(s, cfg),
+                     cols + img_extra)):
+                sub = b.loc[kind == k, kc]
                 if len(sub):
                     parts.append(kernel(sub))
             if not parts:
@@ -196,39 +205,7 @@ def _mono_kernel_pixels(cfg_dict: dict):
     ``_mono_kernel`` except the image branch reads the joined PNG payload
     instead of the token-stream text (which it provably ignores —
     tests/test_extract_pixels.py corrupts it)."""
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..config import ExtractConfig
-        from ..operators.assemble import extract_text_spans
-        from ..operators.html_extract import extract_html
-        from ..operators.pdf_extract import extract_pdf
-        cfg = ExtractConfig(**cfg_dict)
-        cols = ["doc_id", "span_pos", "offset", "media_ref", "text"]
-        out_cols = ["doc_id", "salt", "span_pos", "offset", "out_rank",
-                    "kind", "text", "media_ref"]
-        for b in batches:
-            if b.empty:
-                continue
-            kind = b["kind"].to_numpy()
-            parts = []
-            for k, kernel, kc in (
-                    ("text", lambda s: extract_text_spans(s), cols),
-                    ("html", lambda s: extract_html(s, cfg), cols),
-                    ("pdf", lambda s: extract_pdf(s, cfg), cols),
-                    ("image", lambda s: _pixel_ocr(s, cfg),
-                     cols + ["payload"])):
-                sub = b.loc[kind == k, kc]
-                if len(sub):
-                    parts.append(kernel(sub))
-            if not parts:
-                continue
-            out = pd.concat(parts, ignore_index=True)
-            if out.empty:
-                continue
-            out = out.merge(
-                b[["doc_id", "span_pos", "salt"]].drop_duplicates(),
-                on=["doc_id", "span_pos"], how="left")
-            yield out[out_cols]
-    return fn
+    return _mono_kernel(cfg_dict, image_branch=(_pixel_ocr, ["payload"]))
 
 
 PARTIAL_SCHEMA = ("doc_id string, partial array<struct<offset:int,"

@@ -50,8 +50,9 @@ def main() -> None:
         ingest_dedup_epoch(t, b2, 1, run_id="audit")
         jobs = len(sc.statusTracker().getJobIdsForGroup("epoch"))
         # same epoch shape WITH the band-bucket cap: the over-cap counts
-        # ride the decision frame, so the cap must cost only its two
-        # bucket-sizing checkpoints, not extra count() actions
+        # ride the decision frame and the bucket-sizing aggregations are
+        # plain (un-checkpointed) subplans, so the cap must add ZERO jobs
+        # relative to the uncapped epoch
         b3 = spark.createDataFrame(
             [(r[0] + 100, r[1]) for r in rows], "doc_id LONG, text STRING")
         sc.setJobGroup("epoch_capped", "audit-epoch-capped")
