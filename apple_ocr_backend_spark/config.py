@@ -42,7 +42,7 @@ class ExtractConfig:
     # spans-size-aware salting: a doc is split into ceil(weight / salt_span_budget)
     # salts, where weight = number of spans (north_rule skew handling)
     salt_span_budget: int = 256
-    arrow_max_records: int = 2048
+    arrow_max_records: int = 8192
 
     def as_dict(self) -> dict:
         return asdict(self)

@@ -53,7 +53,7 @@ def make_spark(master: str):
             .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                     os.environ.get("SPARK_GRAFT_ADVISORY", "8m"))
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
             .config("spark.driver.memory",
                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
             .config("spark.ui.enabled", "false")
