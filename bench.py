@@ -54,8 +54,14 @@ def make_spark(master: str):
                     os.environ.get("SPARK_GRAFT_ADVISORY", "8m"))
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+            # match the product session default (session.py: 24g).  The old
+            # 8g default starved the heap in the 480k-doc scaling runs: at
+            # local[8] the GC overhead grew the fused run 45.3 -> 59.9 s
+            # (BENCH.md "Heap attribution") while local[2] barely moved —
+            # reading as a phantom scaling loss that was really the bench
+            # harness, not the plan
             .config("spark.driver.memory",
-                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
             .config("spark.ui.enabled", "false")
             .getOrCreate())
 
