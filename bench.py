@@ -614,12 +614,12 @@ def memory_child(batch_rows: int) -> dict:
 
 def memory_mode() -> None:
     """Fused-kernel memory high-water study: streaming per Arrow batch
-    (2048 rows) vs whole-partition-as-one-batch (the round-2 buffered
-    footprint).  Fresh JVM per point — VmHWM is monotone per process, so
-    reused workers would smear the two measurements together.  Appends to
-    BENCH.md."""
+    (8192 rows, the session default) vs whole-partition-as-one-batch (the
+    round-2 buffered footprint).  Fresh JVM per point — VmHWM is monotone
+    per process, so reused workers would smear the two measurements
+    together.  Appends to BENCH.md."""
     pts = {}
-    for rows in (2048, 1_000_000):
+    for rows in (8192, 1_000_000):
         env = dict(os.environ, SPARK_GRAFT_BENCH_MEMORY=str(rows))
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, cwd=REPO)
@@ -627,8 +627,8 @@ def memory_mode() -> None:
             sys.stderr.write(p.stdout + p.stderr)
             raise RuntimeError(f"memory child {rows} failed")
         pts[rows] = json.loads(p.stdout.strip().splitlines()[-1])
-    small, big = pts[2048], pts[1_000_000]
-    report = {"streaming_2048": small, "whole_partition": big,
+    small, big = pts[8192], pts[1_000_000]
+    report = {"streaming_8192": small, "whole_partition": big,
               "rss_ratio": round(big["worker_peak_rss_mb"]
                                  / max(small["worker_peak_rss_mb"], 1), 2)}
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
@@ -639,7 +639,7 @@ def memory_mode() -> None:
             "polled from /proc while the fused extraction runs.\n\n"
             "| kernel input | worker peak RSS (MB) | wall (s) |\n"
             "|---|---|---|\n"
-            f"| streaming per 2048-row Arrow batch | "
+            f"| streaming per 8192-row Arrow batch (session default) | "
             f"{small['worker_peak_rss_mb']} | {small['sec']} |\n"
             f"| whole partition as one batch (round-2 buffered footprint) | "
             f"{big['worker_peak_rss_mb']} | {big['sec']} |\n\n"
