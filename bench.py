@@ -62,6 +62,14 @@ def make_spark(master: str):
             # harness, not the plan
             .config("spark.driver.memory",
                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+            # second harness-product parity fix (session.py sets the same):
+            # at the 10 MB default the pixels media store's ESTIMATED plan
+            # size straddles the threshold (actual payload 2.5 MB) and AQE
+            # flips the payload join broadcast<->shuffle run to run — a
+            # bimodal 26 s / 32 s kernel stage at local[8] (leak probe +
+            # threshold A/B, BENCH.md "pixels 0.762" follow-up)
+            .config("spark.sql.autoBroadcastJoinThreshold",
+                    str(64 * 1024 * 1024))
             .config("spark.ui.enabled", "false")
             .getOrCreate())
 
@@ -422,7 +430,13 @@ def bench_extraction(spark, sf_dir: str, replicate: int,
         # identical either way)
         from apple_ocr_backend_spark.sources.derived import (
             media_from_documents)
-        media = media_from_documents(spark, sf_dir)
+        # materialize the store ONCE per JVM (localCheckpoint survives the
+        # per-iteration clearCache): in production the media store is a
+        # stored INPUT table, not per-query work — re-rendering the PNGs
+        # every timed iteration both mis-charges the pipeline and was the
+        # dominant variance in the pixels pair (±20%/iteration vs the
+        # token path's ±3%; BENCH.md "Reading the pixels 0.762")
+        media = media_from_documents(spark, sf_dir).localCheckpoint()
 
     def build(mode):
         if mode == "pixels":
