@@ -38,11 +38,12 @@ class ExtractConfig:
     pdf_gap_factor: float = 1.8
 
     # --- Spark-side knobs ---
-    shuffle_partitions: int = 32
+    # (session-level knobs — shuffle partitions, Arrow batch size — live in
+    # session.py / get_spark, not here: they are per-SparkSession, not
+    # per-extraction, and a copy in this dataclass would just go stale)
     # spans-size-aware salting: a doc is split into ceil(weight / salt_span_budget)
     # salts, where weight = number of spans (north_rule skew handling)
     salt_span_budget: int = 256
-    arrow_max_records: int = 8192
 
     def as_dict(self) -> dict:
         return asdict(self)
