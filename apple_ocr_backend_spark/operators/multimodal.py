@@ -2,9 +2,11 @@
 
 The Spark-side plumbing is real — binary columns, Arrow-batched
 ``mapInPandas`` with the exact batch shape a decode/feature-extract stage
-needs — and ``decode_image`` is real for PNG and BMP via the from-scratch
-codecs (``functions/png_codec.py``, ``functions/bmp_codec.py``); formats
-that genuinely need an external library (JPEG/WebP/audio/video) raise
+needs — and the decode step is real for PNG and BMP images via the
+from-scratch codecs (``functions/png_codec.py``, ``functions/bmp_codec.py``)
+and for PCM16 WAV audio (``functions/wav_codec.py``, chunk-walking RIFF
+parse; see ``audio_decode_stats`` below); formats that genuinely need an
+external library (JPEG/WebP/compressed audio/video) raise
 ``NotImplementedError`` and the shipping path falls back to the
 deterministic signature extractor.
 
@@ -21,6 +23,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -141,3 +144,61 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
     replays it in SQL; a real deployment swaps the slicing stand-in for the
     codec singleton's decode."""
     return df.mapInPandas(_frame_batches(max_frames), schema=FRAME_DDL)
+
+
+# ------------------------------------------------------------- audio path
+
+RENDER_AUDIO_DDL = "doc_id bigint, media binary"
+
+
+def render_audio_media(df: DataFrame) -> DataFrame:
+    """df(doc_id, ...) -> (doc_id, media: binary WAV): deterministic
+    synthetic PCM16 payloads (``sources/audio_corpus.py``) — the audio
+    twin of ``image_extract.render_media``, standing in for reading an
+    audio column off the table scan."""
+    from ..sources.audio_corpus import render_doc_audio
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            media = [render_doc_audio(int(d)) for d in b["doc_id"]]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
+    return df.select("doc_id").mapInPandas(fn, schema=RENDER_AUDIO_DDL)
+
+
+AUDIO_STATS_DDL = ("doc_id bigint, n_samples int, sample_rate int, "
+                   "duration_ms double, peak int, rms double, "
+                   "zero_crossings int")
+
+
+def audio_decode_stats(df: DataFrame) -> DataFrame:
+    """df(doc_id, media: binary WAV) -> per-clip decode + signal stats:
+    sample count, rate, duration, peak amplitude, RMS, zero-crossing
+    count.  REAL decode via the from-scratch RIFF walker
+    (``functions/wav_codec.py``); reductions are numpy over the decoded
+    int16 buffer — no per-sample Python.  The stats the audio analog of
+    the reference's pre-OCR image profiling (``ocr_adapter_improved.py:
+    843-869``) would key preprocessing on."""
+    from ..functions.wav_codec import decode_wav_pcm16
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            ns, rates, durs, peaks, rmss, zcs = [], [], [], [], [], []
+            for media in b["media"]:
+                samples, rate = decode_wav_pcm16(bytes(media))
+                s = samples.astype(np.int64)
+                n = len(s)
+                ns.append(n)
+                rates.append(rate)
+                durs.append(n * 1000.0 / rate)
+                peaks.append(int(np.abs(s).max()) if n else 0)
+                rmss.append(float(np.sqrt(np.mean(s * s))) if n else 0.0)
+                zcs.append(int(np.count_nonzero(s[1:] * s[:-1] < 0)))
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"], "n_samples": ns, "sample_rate": rates,
+                "duration_ms": durs, "peak": peaks, "rms": rmss,
+                "zero_crossings": zcs})
+    return df.mapInPandas(fn, schema=AUDIO_STATS_DDL)

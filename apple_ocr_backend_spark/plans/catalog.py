@@ -1552,6 +1552,39 @@ def _img_ids(spark, sf):
             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
 
 
+def _q_audio_decode_stats(spark, sf):
+    """REAL audio decode on real WAV bytes (the audio twin of
+    ``image_decode_stats``): deterministic PCM16 square-wave payloads are
+    RIFF-encoded with a foreign LIST chunk (``sources/audio_corpus.py``),
+    then Spark recovers sample count, duration, peak, RMS, and
+    zero-crossing count through the from-scratch chunk-walking decoder
+    (``functions/wav_codec.py``) + numpy reductions.  The oracle
+    recomputes every stat analytically from the planted md5 arithmetic —
+    a reader that does not correctly parse the container cannot match."""
+    from ..operators.multimodal import audio_decode_stats, render_audio_media
+    media = render_audio_media(_img_ids(spark, sf))
+    return audio_decode_stats(media).orderBy("doc_id")
+
+
+_register("audio_decode_stats", _q_audio_decode_stats, f"""
+WITH g AS (
+  SELECT doc_id,
+         4000 + {_hx('doc_id', 'al')} % 4000 AS n,
+         1000 + {_hx('doc_id', 'aa')} % 20000 AS amp,
+         8 + {_hx('doc_id', 'ap')} % 24 AS hp
+  FROM documents WHERE doc_id < {_IMG_DOCS}
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       n / 8.0 AS duration_ms,
+       CAST(amp AS INT) AS peak,
+       CAST(amp AS DOUBLE) AS rms,
+       CAST((n - 1) // hp AS INT) AS zero_crossings
+FROM g ORDER BY doc_id
+""")
+
+
 def _q_image_rois(spark, sf):
     """Projection-band ROI extraction on real pixels (P1+P2+P3+F9+W2 +
     X10 kernels): the detected (y0, y1) intervals must EXACTLY equal the
@@ -2528,15 +2561,16 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # app/services/eval.py:41-182).
 #
 # Round-5 FRONT: the brand-new entries (no prior driver row exists: the
-# seven image-path entries and client_validate), then the 7 entries
-# absent from CORRECTNESS_r04.json, then
+# seven image-path entries, the audio-path entry, and client_validate),
+# then the 7 entries absent from CORRECTNESS_r04.json, then
 # training_mix, then the round-5 approx siblings, then every entry whose
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
 # quantized embedding-dedup kernels), then the flagship extraction pair
-# (never displaced).  With 68 entries and a 50-row cap the 18 displaced
+# (never displaced).  With 69 entries and a 50-row cap the 19 displaced
 # are then all unchanged-since-r04 green entries.
-_FRONT = ["image_rois", "image_rois_nms", "image_orientation",
+_FRONT = ["audio_decode_stats",
+          "image_rois", "image_rois_nms", "image_orientation",
           "image_decode_stats",
           "image_resize", "image_ocr", "image_ocr_fallback",
           "extract_pipeline_pixels", "client_validate",

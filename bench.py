@@ -385,7 +385,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              # round-5 real image payload path (PNG codec + numpy kernels)
              "image_rois", "image_rois_nms", "image_orientation",
              "image_ocr", "image_ocr_fallback",
-             "extract_pipeline_pixels"]
+             "extract_pipeline_pixels",
+             # round-5 real audio payload path (WAV codec, chunk-walking)
+             "audio_decode_stats"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in
