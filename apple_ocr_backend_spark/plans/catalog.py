@@ -1585,6 +1585,39 @@ FROM g ORDER BY doc_id
 """)
 
 
+def _q_video_frame_stats(spark, sf):
+    """REAL video decode on real AVI bytes (the video twin of
+    ``image_decode_stats``; makes the ``sample_frames`` 1->N contract
+    real): deterministic uncompressed-DIB clips are RIFF-encoded with a
+    nested LIST tree and an odd-sized JUNK chunk
+    (``sources/video_corpus.py``), then Spark walks the container, decodes
+    each bottom-up DIB frame, and reports per-frame dimensions + ink stats
+    (``functions/avi_codec.py``).  The oracle recomputes frame count, band
+    height, and ink value analytically from the planted md5 arithmetic."""
+    from ..operators.multimodal import render_video_media, video_frame_stats
+    media = render_video_media(_img_ids(spark, sf))
+    return video_frame_stats(media).orderBy("doc_id", "frame_idx")
+
+
+_register("video_frame_stats", _q_video_frame_stats, f"""
+WITH g AS (
+  SELECT doc_id, 2 + {_hx('doc_id', 'vn')} % 4 AS n_frames
+  FROM documents WHERE doc_id < {_IMG_DOCS}
+),
+ks AS (SELECT unnest(range(0, 6)) AS k)
+SELECT g.doc_id,
+       CAST(k.k AS INT) AS frame_idx,
+       CAST(24 AS INT) AS height,
+       CAST(32 AS INT) AS width,
+       CAST(4 + ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)
+            || '_vh' || k.k), 1, 6))::BIGINT % 8 AS INT) AS ink_rows,
+       CAST(40 + ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)
+            || '_vv' || k.k), 1, 6))::BIGINT % 40 AS INT) AS ink_min
+FROM g JOIN ks k ON k.k < g.n_frames
+ORDER BY doc_id, frame_idx
+""")
+
+
 def _q_image_rois(spark, sf):
     """Projection-band ROI extraction on real pixels (P1+P2+P3+F9+W2 +
     X10 kernels): the detected (y0, y1) intervals must EXACTLY equal the
@@ -2567,9 +2600,9 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
 # quantized embedding-dedup kernels), then the flagship extraction pair
-# (never displaced).  With 69 entries and a 50-row cap the 19 displaced
+# (never displaced).  With 70 entries and a 50-row cap the 20 displaced
 # are then all unchanged-since-r04 green entries.
-_FRONT = ["audio_decode_stats",
+_FRONT = ["audio_decode_stats", "video_frame_stats",
           "image_rois", "image_rois_nms", "image_orientation",
           "image_decode_stats",
           "image_resize", "image_ocr", "image_ocr_fallback",

@@ -387,7 +387,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "image_ocr", "image_ocr_fallback",
              "extract_pipeline_pixels",
              # round-5 real audio payload path (WAV codec, chunk-walking)
-             "audio_decode_stats"]
+             "audio_decode_stats",
+             # round-5 real video payload path (AVI codec, nested-RIFF walk)
+             "video_frame_stats"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in
