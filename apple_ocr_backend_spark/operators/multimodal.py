@@ -219,6 +219,57 @@ def video_frame_stats(df: DataFrame, background: int = 200) -> DataFrame:
     return df.mapInPandas(fn, schema=VIDEO_STATS_DDL)
 
 
+def render_serial_video_media(df: DataFrame) -> DataFrame:
+    """df(doc_id, ...) -> (doc_id, media: binary AVI): serial-plate clips —
+    one clean frame among heavy-dropout ones, all rendering the planted
+    12-char string (``sources/video_corpus.py::render_doc_serial_video``,
+    the client scan-window fixture)."""
+    from ..sources.video_corpus import render_doc_serial_video
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            media = [render_doc_serial_video(int(d)) for d in b["doc_id"]]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
+    return df.select("doc_id").mapInPandas(fn, schema=RENDER_VIDEO_DDL)
+
+
+VIDEO_OCR_DDL = "doc_id bigint, frame_idx int, text string, conf double"
+
+
+def video_frame_ocr(df: DataFrame, expect_chars: int = 12) -> DataFrame:
+    """df(doc_id, media: binary AVI) -> one OCR read per decoded frame
+    (frame_idx, text, conf): AVI walk (``functions/avi_codec.py``) ->
+    adaptive-threshold binarize -> glyph template match per frame — the
+    per-frame half of the reference client's TTA loop
+    (``SerialScannerViewModel.swift:197-258``).  The best-frame arg-max
+    (``:267``, A7) deliberately stays OUTSIDE this kernel as a relational
+    ``max_by`` aggregation: frames are data, not control flow, so Spark
+    gets a combinable per-doc reduction instead of a Python fold."""
+    from ..functions import image_kernels as K
+    from ..functions.avi_codec import decode_avi_gray
+    from ..functions.glyph_ocr import recognize_text
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            docs, idxs, texts, confs = [], [], [], []
+            for doc, media in zip(b["doc_id"], b["media"]):
+                frames, _fps = decode_avi_gray(bytes(media))
+                for k, fr in enumerate(frames):
+                    text, conf = recognize_text(K.adaptive_threshold(fr),
+                                                expect_chars=expect_chars)
+                    docs.append(doc)
+                    idxs.append(k)
+                    texts.append(text)
+                    confs.append(conf)
+            yield pd.DataFrame({"doc_id": docs, "frame_idx": idxs,
+                                "text": texts, "conf": confs})
+    return df.mapInPandas(fn, schema=VIDEO_OCR_DDL)
+
+
 AUDIO_STATS_DDL = ("doc_id bigint, n_samples int, sample_rate int, "
                    "duration_ms double, peak int, rms double, "
                    "zero_crossings int")

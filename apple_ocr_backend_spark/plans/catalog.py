@@ -1776,6 +1776,54 @@ ORDER BY doc_id
 _register("image_ocr", _q_image_ocr, _image_ocr_sql())
 
 
+def _q_video_ocr_tta(spark, sf):
+    """The client TTA loop (P11/A7) on REAL video bytes: each doc's AVI
+    clip renders the planted 12-char serial in every frame — ONE clean,
+    the rest at 0.65 ink dropout (``sources/video_corpus.py``).  Spark
+    decodes the clip, OCRs every frame (1->N inside the Arrow batch),
+    then picks the best read with a relational ``max_by`` over
+    (conf, -frame_idx) — the best-frame arg-max of
+    ``SerialScannerViewModel.swift:267`` as a combinable aggregation.
+    The oracle recomputes the planted serial AND the clean frame's index
+    analytically; a frame-0-only reader misreads 2,265/4000 docs
+    (measured), so the arg-max is what makes this entry green."""
+    from ..operators.multimodal import (render_serial_video_media,
+                                        video_frame_ocr)
+    media = render_serial_video_media(_img_ids(spark, sf))
+    per = video_frame_ocr(media, expect_chars=12)
+    best = (per.groupBy("doc_id")
+            .agg(F.max_by(F.struct("text", "frame_idx"),
+                          F.struct("conf", (-F.col("frame_idx"))
+                                   .alias("nk"))).alias("b"),
+                 F.count("*").alias("n_frames"))
+            .select("doc_id", F.col("b.text").alias("text"),
+                    F.col("b.frame_idx").alias("best_frame_idx"),
+                    "n_frames"))
+    return best.orderBy("doc_id")
+
+
+def _video_ocr_tta_sql() -> str:
+    from ..functions.glyph_ocr import CHARSET
+    return f"""
+WITH g AS (
+  SELECT doc_id, 3 + {_hx('doc_id', 'tn')} % 4 AS n
+  FROM documents WHERE doc_id < {_IMG_DOCS}
+)
+SELECT doc_id,
+       array_to_string(
+         [substr('{CHARSET}',
+                 1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || '_c' || (i - 1)), 1, 6))::BIGINT % 36 AS INT), 1)
+          FOR i IN range(1, 13)], '') AS text,
+       CAST({_hx('doc_id', 'tg')} % n AS INT) AS best_frame_idx,
+       CAST(n AS BIGINT) AS n_frames
+FROM g ORDER BY doc_id
+"""
+
+
+_register("video_ocr_tta", _q_video_ocr_tta, _video_ocr_tta_sql())
+
+
 def _q_image_ocr_fallback(spark, sf):
     """The P10 fallback sweep on real pixels (the Tesseract-ladder analog,
     ``tesseract_adapter.py:86-237``): plates degraded past what the
@@ -2600,9 +2648,9 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
 # quantized embedding-dedup kernels), then the flagship extraction pair
-# (never displaced).  With 70 entries and a 50-row cap the 20 displaced
+# (never displaced).  With 71 entries and a 50-row cap the 21 displaced
 # are then all unchanged-since-r04 green entries.
-_FRONT = ["audio_decode_stats", "video_frame_stats",
+_FRONT = ["audio_decode_stats", "video_frame_stats", "video_ocr_tta",
           "image_rois", "image_rois_nms", "image_orientation",
           "image_decode_stats",
           "image_resize", "image_ocr", "image_ocr_fallback",

@@ -389,7 +389,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              # round-5 real audio payload path (WAV codec, chunk-walking)
              "audio_decode_stats",
              # round-5 real video payload path (AVI codec, nested-RIFF walk)
-             "video_frame_stats"]
+             "video_frame_stats", "video_ocr_tta"]
     times = {}
     for name in names:
         # two timed runs, report the min: the first execution of a query in
