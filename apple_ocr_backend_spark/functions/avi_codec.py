@@ -26,6 +26,8 @@ import numpy as np
 
 
 def _chunk(cid: bytes, payload: bytes) -> bytes:
+    if len(cid) != 4:
+        raise ValueError("chunk id must be 4 bytes")
     pad = b"\x00" if len(payload) % 2 else b""
     return cid + struct.pack("<I", len(payload)) + payload + pad
 
@@ -48,6 +50,8 @@ def encode_avi_gray(frames: list[np.ndarray], fps: int = 10) -> bytes:
     """Grayscale frames (equal shape, uint8) -> AVI bytes (DIB stream)."""
     if not frames:
         raise ValueError("need at least one frame")
+    if not 1 <= fps <= 1_000_000:
+        raise ValueError("fps must be in [1, 1_000_000]")
     h, w = frames[0].shape
     for f in frames:
         if f.dtype != np.uint8 or f.shape != (h, w):
@@ -94,22 +98,30 @@ def decode_avi_gray(data: bytes) -> tuple[list[np.ndarray], int]:
     riff_size = struct.unpack_from("<I", data, 4)[0]
     end = min(len(data), 8 + riff_size)
     dims = bits = compression = None
+    bottom_up = True
     usec_per_frame = 100_000
     frames: list[np.ndarray] = []
 
     def walk(pos: int, stop: int) -> None:
-        nonlocal dims, bits, compression, usec_per_frame
+        nonlocal dims, bits, compression, bottom_up, usec_per_frame
         for cid, at, size in _iter_chunks(data, pos, stop):
             if cid == b"LIST":
                 walk(at + 4, at + size)  # skip the 4-byte list type
             elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("avih chunk too short")
                 vals = struct.unpack_from("<10I", data, at)
                 usec_per_frame = vals[0] or usec_per_frame
                 dims = (vals[9], vals[8])  # (height, width)
             elif cid == b"strf":
+                if size < 20:
+                    raise ValueError("strf chunk too short")
                 _, w, h, _, bits_, comp = struct.unpack_from(
                     "<IiiHHI", data, at)
                 bits, compression = bits_, comp
+                # negative biHeight = top-down DIB (rows already in
+                # natural order); positive = the usual bottom-up layout
+                bottom_up = h > 0
                 dims = (abs(h), w)
             elif cid in (b"00db", b"00dc"):
                 if compression not in (0, None):
@@ -125,8 +137,10 @@ def decode_avi_gray(data: bytes) -> tuple[list[np.ndarray], int]:
                     raise ValueError("frame size does not match headers")
                 rows = np.frombuffer(data, dtype=np.uint8, count=size,
                                      offset=at).reshape(h, stride)
-                # bottom-up rows; gray was replicated to B=G=R on encode
-                frames.append(np.ascontiguousarray(rows[::-1, :w * 3:3]))
+                if bottom_up:
+                    rows = rows[::-1]
+                # gray was replicated to B=G=R on encode
+                frames.append(np.ascontiguousarray(rows[:, :w * 3:3]))
 
     walk(12, end)
     if not frames:

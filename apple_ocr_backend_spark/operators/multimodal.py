@@ -146,44 +146,41 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
     return df.mapInPandas(_frame_batches(max_frames), schema=FRAME_DDL)
 
 
-# ------------------------------------------------------------- audio path
+# ---------------------------------------------------- audio / video paths
 
-RENDER_AUDIO_DDL = "doc_id bigint, media binary"
+RENDER_MEDIA_DDL = "doc_id bigint, media binary"
+# kept under their historical names for existing callers/tests
+RENDER_AUDIO_DDL = RENDER_VIDEO_DDL = RENDER_MEDIA_DDL
+
+
+def _render_media_operator(render_doc):
+    """(doc_id -> payload bytes) -> a (doc_id, media: binary) mapInPandas
+    operator: the shared stand-in for reading a stored media column off
+    the table scan (one definition for the WAV/AVI/serial-clip renderers)."""
+    def op(df: DataFrame) -> DataFrame:
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if b.empty:
+                    continue
+                media = [render_doc(int(d)) for d in b["doc_id"]]
+                yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
+        return df.select("doc_id").mapInPandas(fn, schema=RENDER_MEDIA_DDL)
+    return op
 
 
 def render_audio_media(df: DataFrame) -> DataFrame:
     """df(doc_id, ...) -> (doc_id, media: binary WAV): deterministic
     synthetic PCM16 payloads (``sources/audio_corpus.py``) — the audio
-    twin of ``image_extract.render_media``, standing in for reading an
-    audio column off the table scan."""
+    twin of ``image_extract.render_media``."""
     from ..sources.audio_corpus import render_doc_audio
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if b.empty:
-                continue
-            media = [render_doc_audio(int(d)) for d in b["doc_id"]]
-            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
-    return df.select("doc_id").mapInPandas(fn, schema=RENDER_AUDIO_DDL)
-
-
-# ------------------------------------------------------------- video path
-
-RENDER_VIDEO_DDL = "doc_id bigint, media binary"
+    return _render_media_operator(render_doc_audio)(df)
 
 
 def render_video_media(df: DataFrame) -> DataFrame:
     """df(doc_id, ...) -> (doc_id, media: binary AVI): deterministic
     synthetic uncompressed-DIB clips (``sources/video_corpus.py``)."""
     from ..sources.video_corpus import render_doc_video
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if b.empty:
-                continue
-            media = [render_doc_video(int(d)) for d in b["doc_id"]]
-            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
-    return df.select("doc_id").mapInPandas(fn, schema=RENDER_VIDEO_DDL)
+    return _render_media_operator(render_doc_video)(df)
 
 
 VIDEO_STATS_DDL = ("doc_id bigint, frame_idx int, height int, width int, "
@@ -225,14 +222,7 @@ def render_serial_video_media(df: DataFrame) -> DataFrame:
     12-char string (``sources/video_corpus.py::render_doc_serial_video``,
     the client scan-window fixture)."""
     from ..sources.video_corpus import render_doc_serial_video
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if b.empty:
-                continue
-            media = [render_doc_serial_video(int(d)) for d in b["doc_id"]]
-            yield pd.DataFrame({"doc_id": b["doc_id"], "media": media})
-    return df.select("doc_id").mapInPandas(fn, schema=RENDER_VIDEO_DDL)
+    return _render_media_operator(render_doc_serial_video)(df)
 
 
 VIDEO_OCR_DDL = "doc_id bigint, frame_idx int, text string, conf double"

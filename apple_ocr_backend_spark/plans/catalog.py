@@ -1746,6 +1746,18 @@ ORDER BY doc_id
 """)
 
 
+def _planted_serial_expr() -> str:
+    """DuckDB expression recomputing ``image_corpus.planted_serial``
+    (char i = CHARSET[H('_c{i}') % 36]) — shared by every oracle that
+    pins a recovered serial so the arithmetic cannot desynchronize."""
+    from ..functions.glyph_ocr import CHARSET
+    return f"""array_to_string(
+         [substr('{CHARSET}',
+                 1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || '_c' || (i - 1)), 1, 6))::BIGINT % 36 AS INT), 1)
+          FOR i IN range(1, 13)], '')"""
+
+
 def _q_image_ocr(spark, sf):
     """Real OCR on real pixels (the P7 readtext analog at sandbox scale):
     each doc's 12-char serial is rendered in the 5x7 glyph font (jitter +
@@ -1760,14 +1772,9 @@ def _q_image_ocr(spark, sf):
 
 
 def _image_ocr_sql() -> str:
-    from ..functions.glyph_ocr import CHARSET
     return f"""
 SELECT doc_id,
-       array_to_string(
-         [substr('{CHARSET}',
-                 1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                       || '_c' || (i - 1)), 1, 6))::BIGINT % 36 AS INT), 1)
-          FOR i IN range(1, 13)], '') AS text
+       {_planted_serial_expr()} AS text
 FROM documents WHERE doc_id < {_IMG_DOCS}
 ORDER BY doc_id
 """
@@ -1803,18 +1810,13 @@ def _q_video_ocr_tta(spark, sf):
 
 
 def _video_ocr_tta_sql() -> str:
-    from ..functions.glyph_ocr import CHARSET
     return f"""
 WITH g AS (
   SELECT doc_id, 3 + {_hx('doc_id', 'tn')} % 4 AS n
   FROM documents WHERE doc_id < {_IMG_DOCS}
 )
 SELECT doc_id,
-       array_to_string(
-         [substr('{CHARSET}',
-                 1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                       || '_c' || (i - 1)), 1, 6))::BIGINT % 36 AS INT), 1)
-          FOR i IN range(1, 13)], '') AS text,
+       {_planted_serial_expr()} AS text,
        CAST({_hx('doc_id', 'tg')} % n AS INT) AS best_frame_idx,
        CAST(n AS BIGINT) AS n_frames
 FROM g ORDER BY doc_id

@@ -50,6 +50,38 @@ def test_encoder_rejects_bad_frames():
     with pytest.raises(ValueError):
         encode_avi_gray([np.zeros((2, 2), dtype=np.uint8),
                          np.zeros((3, 2), dtype=np.uint8)])
+    with pytest.raises(ValueError):
+        encode_avi_gray([np.zeros((2, 2), dtype=np.uint8)], fps=0)
+    with pytest.raises(ValueError):
+        encode_avi_gray([np.zeros((2, 2), dtype=np.uint8)], fps=2_000_000)
+
+
+def test_rejects_short_header_chunks():
+    # an avih/strf whose declared size is below the struct it must carry
+    # is a malformed container (ValueError), not garbage dims or a leaked
+    # struct.error
+    good = encode_avi_gray([np.zeros((2, 2), dtype=np.uint8)])
+    for marker in (b"avih", b"strf"):
+        at = good.find(marker)
+        bad = bytearray(good)
+        struct.pack_into("<I", bad, at + 4, 4)  # declared size 4
+        with pytest.raises(ValueError):
+            decode_avi_gray(bytes(bad))
+
+
+def test_top_down_dib_decodes_in_natural_order():
+    # negative biHeight = top-down DIB: rows arrive in natural order and
+    # must NOT be flipped
+    frame = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    data = bytearray(encode_avi_gray([frame]))
+    at = bytes(data).find(b"strf") + 8
+    # biHeight sits 8 bytes into BITMAPINFOHEADER
+    h = struct.unpack_from("<i", data, at + 8)[0]
+    struct.pack_into("<i", data, at + 8, -h)
+    # the payload rows were written bottom-up; with a top-down header the
+    # decoder must return them as stored (i.e. the original flipped)
+    out, _ = decode_avi_gray(bytes(data))
+    assert (out[0] == frame[::-1]).all()
 
 
 @pytest.mark.parametrize("doc_id", [0, 1, 7, 42, 299])
