@@ -2487,6 +2487,96 @@ GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 200
 """)
 
 
+# Small so both the in-vocab and the OOV scoring paths are exercised on the
+# 31-distinct-token synthetic corpus; a production run would use ~250k.
+_PPL_VOCAB_K = 16
+
+
+def _q_quality_perplexity(spark, sf):
+    """CCNet-style unigram-LM quality scorer (Wenzek et al. 2020): fit a
+    unigram model on the corpus itself (top-K vocab by frequency with a
+    deterministic tie-break; out-of-vocab tokens take the 1/N floor
+    probability), then score every document by total and mean token
+    surprisal.  Surprisal is floor-quantized to integer micro-nats BEFORE
+    summing (the cents idiom) so per-doc sums are order-independent and
+    cross-engine exact; the keep flag compares each doc's mean against the
+    corpus average as a pure-integer cross-multiplication (no division on
+    either side).  Plan shape: ONE (doc_id, tok) term-frequency shuffle
+    feeds both the model fit (combinable re-agg to one row per distinct
+    token + TakeOrderedAndProject for the top-K) and the scoring side,
+    where the K-row model and the 1-row corpus total broadcast back onto
+    the tf frame — the corpus text is scanned once, nothing wider than one
+    row per (doc, distinct token) ever shuffles, and the final doc_id agg
+    is combinable.  At 10^12 docs the corpus-average cross-multiplication
+    would overflow int64 (mean_micro ~1e7 x 1e12 docs); the documented
+    swap is comparing against floor(avg) in double, which this entry
+    avoids only to keep the driver hash bit-exact.  Reference analog: the
+    accept/borderline/reject confidence ladder of app/routers/serials.py:
+    135-153 applied on the corpus-quality axis."""
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    tf = (toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+          .persist())
+    tot = tf.agg(F.sum("tf").cast("double").alias("n_corpus"))
+    vocab = (tf.groupBy("tok").agg(F.sum("tf").cast("double").alias("c"))
+             .orderBy(F.desc("c"), F.asc("tok")).limit(_PPL_VOCAB_K))
+    costed = (tf.crossJoin(F.broadcast(tot))
+              .join(F.broadcast(vocab), "tok", "left")
+              .withColumn(
+                  "cost_micro",
+                  F.floor((F.when(F.col("c").isNotNull(),
+                                  F.log("n_corpus") - F.log("c"))
+                           .otherwise(F.log("n_corpus")))
+                          * F.lit(1_000_000.0)).cast("long")))
+    scores = (costed.groupBy("doc_id")
+              .agg(F.sum("tf").cast("long").alias("n_tok"),
+                   F.sum(F.col("tf") * F.col("cost_micro"))
+                   .cast("long").alias("cost_micro"))
+              .withColumn("mean_micro",
+                          F.floor(F.col("cost_micro").cast("double")
+                                  / F.col("n_tok")).cast("long"))
+              .persist())
+    corp = scores.agg(F.sum("mean_micro").cast("long").alias("s"),
+                      F.count(F.lit(1)).alias("d"))
+    return (scores.crossJoin(F.broadcast(corp))
+            .select("doc_id", "n_tok", "cost_micro", "mean_micro",
+                    (F.col("mean_micro") * F.col("d")
+                     <= F.col("s")).alias("keep"))
+            .orderBy("doc_id"))
+
+
+_register("quality_perplexity", _q_quality_perplexity, f"""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(text, '\\s+', ' ',
+                                                       'g')), ' ')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+), tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_corpus FROM tf),
+vocab AS (
+  SELECT tok, CAST(SUM(tf) AS DOUBLE) AS c FROM tf GROUP BY tok
+  ORDER BY SUM(tf) DESC, tok ASC LIMIT {_PPL_VOCAB_K}
+), costed AS (
+  SELECT f.doc_id, f.tf,
+         CAST(FLOOR((CASE WHEN v.tok IS NULL THEN ln(t.n_corpus)
+                          ELSE ln(t.n_corpus) - ln(v.c) END)
+                    * 1000000.0) AS BIGINT) AS cost_micro
+  FROM tf f CROSS JOIN tot t LEFT JOIN vocab v USING (tok)
+), scores AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+         CAST(SUM(tf * cost_micro) AS BIGINT) AS cost_micro,
+         CAST(FLOOR(CAST(SUM(tf * cost_micro) AS DOUBLE) / SUM(tf))
+              AS BIGINT) AS mean_micro
+  FROM costed GROUP BY doc_id
+), corp AS (SELECT CAST(SUM(mean_micro) AS BIGINT) AS s,
+                   COUNT(*) AS d FROM scores)
+SELECT doc_id, n_tok, cost_micro, mean_micro,
+       (mean_micro * corp.d <= corp.s) AS keep
+FROM scores CROSS JOIN corp ORDER BY doc_id
+""")
+
+
 def _q_rolling_active_users(spark, sf):
     """Exact trailing-7-day distinct active users per day.  Window frames
     cannot express COUNT(DISTINCT), so the plan is the classic
@@ -2662,7 +2752,7 @@ _FRONT = ["audio_decode_stats", "video_frame_stats", "video_ocr_tta",
           "length_quantiles",
           "training_mix",
           "rolling_active_users_approx", "length_quantiles_approx",
-          "lang_id_multi", "decontaminate",
+          "lang_id_multi", "decontaminate", "quality_perplexity",
           "dedup_embedding", "dedup_embedding_fitted",
           "extract_pipeline_fused", "extract_pipeline_staged"]
 
