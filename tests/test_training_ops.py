@@ -429,3 +429,73 @@ def test_length_quantiles_approx_rank_bound(spark):
             hi = (vals <= got).sum() / n
             assert lo - (eps + 1.0 / n) <= q <= hi + (eps + 1.0 / n), \
                 (row.lang, q, got, lo, hi)
+
+
+def test_quality_perplexity_matches_pure_python(spark, tmp_path):
+    """Independent semantics pin for the CCNet-style unigram-LM scorer:
+    recompute the whole entry (top-K vocab with the (-count, tok) tie-break,
+    1/N OOV floor, micro-nat floor quantization BEFORE the per-doc sum,
+    floor-divided mean, integer cross-multiplied keep flag) in pure Python
+    on a hand-built corpus, independent of both the Spark plan and the
+    DuckDB oracle text.  The corpus exceeds _PPL_VOCAB_K distinct tokens so
+    the OOV path is exercised, carries a corpus-frequency tie straddling
+    the K boundary so the tok-ASC tie-break is load-bearing, and includes
+    repeated/tab whitespace so tokenization collapse is covered."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apple_ocr_backend_spark.plans.catalog import _PPL_VOCAB_K, catalog
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog  ate\tthe bone",
+        3: "zebra quark xylophone unique tokens here",
+        4: "the the the the",
+        5: "cat dog zebra on mat sat",
+        6: "alpha beta gamma delta epsilon",
+        7: "alpha beta cat dog bone ate",
+        8: "quark here unique epsilon delta gamma",
+    }
+    tmp = str(tmp_path)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(texts), type=pa.int64()),
+                  "text": [texts[i] for i in sorted(texts)]}),
+        f"{tmp}/documents.parquet")
+
+    # pure-python model of the entry
+    toks = {i: " ".join(t.split()).split(" ") for i, t in texts.items()}
+    tf: dict[tuple[int, str], int] = {}
+    for i, ts in toks.items():
+        for t in ts:
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+    n_corpus = float(sum(tf.values()))
+    corpus_c: dict[str, int] = {}
+    for (_, t), c in tf.items():
+        corpus_c[t] = corpus_c.get(t, 0) + c
+    assert len(corpus_c) > _PPL_VOCAB_K  # OOV path is exercised
+    ranked = sorted(corpus_c.items(), key=lambda kv: (-kv[1], kv[0]))
+    # the tie-break must decide the cut: boundary neighbours tie on count
+    assert ranked[_PPL_VOCAB_K - 1][1] == ranked[_PPL_VOCAB_K][1]
+    vocab = dict(ranked[:_PPL_VOCAB_K])
+    expect = {}
+    for i in sorted(texts):
+        n_tok, cost = 0, 0
+        for (d, t), c in tf.items():
+            if d != i:
+                continue
+            ln = (math.log(n_corpus) - math.log(float(vocab[t]))
+                  if t in vocab else math.log(n_corpus))
+            cost += c * math.floor(ln * 1_000_000.0)
+            n_tok += c
+        expect[i] = (n_tok, cost, math.floor(cost / n_tok))
+    s = sum(m for _, _, m in expect.values())
+    d = len(expect)
+
+    got = catalog()["quality_perplexity"]["spark"](spark, tmp).collect()
+    assert [r.doc_id for r in got] == sorted(texts)
+    for r in got:
+        n_tok, cost, mean = expect[r.doc_id]
+        assert (r.n_tok, r.cost_micro, r.mean_micro) == (n_tok, cost, mean)
+        assert r.keep == (mean * d <= s)
