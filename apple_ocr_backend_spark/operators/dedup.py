@@ -265,6 +265,83 @@ def benchmark_overlap(corpus: DataFrame, benchmark: DataFrame,
 
 
 # --------------------------------------------------------------------------- #
+# Span-level exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): mark the POSITIONS inside each doc
+# whose n-token window recurs anywhere in the corpus, merge overlapping /
+# adjacent windows into maximal duplicated spans, report per-doc span stats.
+# Doc-level dedup (above) drops whole near-copies; this finds the boilerplate
+# RUNS inside otherwise-unique documents (license headers, navboxes,
+# templated intros) that doc-level methods cannot see.
+# --------------------------------------------------------------------------- #
+
+def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *, n: int = 8,
+                    min_count: int = 2) -> DataFrame:
+    """Per-doc duplicated-span statistics: ``(doc_id, n_tok, n_spans,
+    dup_tokens, dup_frac_q)`` for every doc holding at least one n-token
+    window that occurs ``min_count``+ times corpus-wide.  A position i is
+    duplicated when the window [i, i+n-1] recurs; overlapping or ADJACENT
+    duplicated windows (next start <= prev start + n) merge into one
+    maximal span, so ``dup_tokens`` counts each token once no matter how
+    many windows cover it.  ``dup_frac_q`` is the duplicated-token fraction
+    in exact integer micro-units (``dup_tokens * 1e6 div n_tok``) — the
+    number a removal/filter stage thresholds on.
+
+    Scale shape (100 TB): the token array is materialized into its own
+    projection FIRST, so the window builder captures a plain attribute —
+    the zip-shingle used elsewhere builds its expression tree over the
+    full tokenize tree inline, which here (needed per-position, not
+    per-doc-array) re-ran the regex split ~16× per row; the two-step
+    transform-over-attribute shape is 3-4× faster at sf0.1 and the plan
+    carries the split exactly once (the per-element lambda touches only
+    ``slice(ts, ...)`` on the attribute, so the HOF-capture trap
+    documented at functions/text.py::word_shingles does not apply).
+    Windows are md5-hashed map-side so the shuffle key is a fixed-width
+    digest, not the n-token string.  TWO shuffles total: one on the
+    window hash (a whole-partition count window — every position rides
+    the exchange exactly once; the groupBy+self-join alternative re-uses
+    the same exchange but adds a join), one on doc id for the island merge
+    and final aggregate.  Nothing is ever joined all-pairs and no token
+    string longer than one window leaves the map side.  Docs shorter than
+    ``n`` tokens are excluded at the source (a partial window is not an
+    n-gram — same round-4-advice semantics as ``benchmark_overlap``)."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col),
+                                           r"\s+", " ")), " ")
+    pos = (docs
+           .select(F.col(id_col).alias("id"), toks.alias("ts"))
+           .filter(F.size("ts") >= n)
+           .select("id", F.size("ts").alias("n_tok"),
+                   F.posexplode(F.expr(
+                       f"transform(sequence(0, size(ts) - {int(n)}), "
+                       f"x -> concat_ws(' ', slice(ts, x + 1, {int(n)})))"))
+                   .alias("i", "gram"))
+           .select("id", "n_tok", "i", F.md5("gram").alias("g")))
+    dup = (pos
+           .withColumn("c", F.count(F.lit(1)).over(W.partitionBy("g")))
+           .filter(F.col("c") >= min_count))
+    wd = W.partitionBy("id").orderBy("i")
+    isl = (dup
+           .withColumn("new_isl",
+                       F.when(F.lag("i").over(wd).isNull()
+                              | (F.col("i") - F.lag("i").over(wd)
+                                 > F.lit(n)), 1).otherwise(0))
+           .withColumn("isl", F.sum("new_isl").over(wd)))
+    spans = (isl.groupBy("id", "isl")
+             .agg(F.first("n_tok").alias("n_tok"),
+                  F.min("i").alias("s"),
+                  (F.max("i") + F.lit(n - 1)).alias("e")))
+    return (spans.groupBy("id")
+            .agg(F.first("n_tok").alias("n_tok"),
+                 F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.col("e") - F.col("s") + 1)
+                 .cast("long").alias("dup_tokens"))
+            .select(F.col("id").alias(id_col), "n_tok", "n_spans",
+                    "dup_tokens",
+                    F.expr("(dup_tokens * 1000000) div n_tok")
+                    .alias("dup_frac_q")))
+
+
+# --------------------------------------------------------------------------- #
 # Dedup group resolution: candidate pairs -> connected components -> keep-list
 # --------------------------------------------------------------------------- #
 

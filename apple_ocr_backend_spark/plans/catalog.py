@@ -2464,6 +2464,59 @@ FROM hits h JOIN sizes s USING (doc_id)
 """)
 
 
+def _q_dedup_spans(spark, sf):
+    """Span-level exact-substring dedup (Lee et al. 2022): positions whose
+    8-token window recurs anywhere in the corpus, merged into maximal
+    duplicated spans, reported per doc as span count / duplicated-token
+    count / integer micro-fraction.  Complements the doc-level entries
+    (`dedup_exact` .. `dedup_embedding`): it finds boilerplate RUNS inside
+    otherwise-unique documents.  Two shuffles — window-hash, then doc id;
+    see operators/dedup.py::duplicate_spans for the 100 TB shape.
+    Reference analog: the candidate-dedupe axis of SO2/A6
+    (app/services/ocr_adapter_improved.py:1448-1466) applied at
+    sub-document granularity on the corpus-quality axis."""
+    return (DD.duplicate_spans(T(spark, sf, "documents"),
+                               "doc_id", "text", n=8, min_count=2)
+            .orderBy("doc_id"))
+
+
+_register("dedup_spans", _q_dedup_spans, """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tok, i - 1 AS i,
+         md5(array_to_string(list_slice(ts, i, i + 7), ' ')) AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 7)) AS i) r
+  WHERE len(ts) >= 8
+),
+dup AS (
+  SELECT doc_id, n_tok, i
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY g) AS c FROM pos)
+  WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, n_tok, i,
+         SUM(CASE WHEN prev_i IS NULL OR i - prev_i > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS isl
+  FROM (SELECT *, LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+        FROM dup)
+),
+spans AS (
+  SELECT doc_id, isl, MAX(n_tok) AS n_tok, MIN(i) AS s, MAX(i) + 7 AS e
+  FROM isl GROUP BY doc_id, isl
+)
+SELECT doc_id, MAX(n_tok) AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       (CAST(SUM(e - s + 1) AS BIGINT) * 1000000) // MAX(n_tok)
+         AS dup_frac_q
+FROM spans GROUP BY doc_id ORDER BY doc_id
+""")
+
+
 def _q_vocab_topk(spark, sf):
     """Vocabulary induction: corpus-wide token frequency table, top 200 by
     count with a deterministic token tie-break — the first step of any
@@ -2740,7 +2793,7 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
 # quantized embedding-dedup kernels), then the flagship extraction pair
-# (never displaced).  With 71 entries and a 50-row cap the 21 displaced
+# (never displaced).  With 73 entries and a 50-row cap the 23 displaced
 # are then all unchanged-since-r04 green entries.
 _FRONT = ["audio_decode_stats", "video_frame_stats", "video_ocr_tta",
           "image_rois", "image_rois_nms", "image_orientation",
@@ -2753,6 +2806,7 @@ _FRONT = ["audio_decode_stats", "video_frame_stats", "video_ocr_tta",
           "training_mix",
           "rolling_active_users_approx", "length_quantiles_approx",
           "lang_id_multi", "decontaminate", "quality_perplexity",
+          "dedup_spans",
           "dedup_embedding", "dedup_embedding_fitted",
           "extract_pipeline_fused", "extract_pipeline_staged"]
 

@@ -316,3 +316,33 @@ def test_embedding_prefilter_lossless(spark):
                 bound_slack_q=2_000_000).collect()))
             assert pruned == full, (thr, head)
             assert len(pruned) >= 36, (thr, head)  # the planted dups
+
+
+def test_duplicate_spans_island_merge_semantics(spark):
+    """Hand corpus pinning every duplicate_spans rule: cross-doc and
+    within-doc recurrence both count toward min_count; ADJACENT duplicated
+    windows (next start == prev start + n) merge into ONE maximal span
+    while a 2-token gap splits spans; a doc shorter than n is excluded
+    even when it is a prefix of a duplicated phrase; whitespace collapses
+    before windowing; dup_frac_q is exact integer micro-division."""
+    phrase = "p q r s t u v w"
+    docs = spark.createDataFrame(
+        [(1, "a1 a2  a3\ta4 " + phrase + " b1 b2 b3 b4"),  # 16 toks, 1 hit
+         (2, "c1 c2 " + phrase + " c3 c4"),                # 12 toks, 1 hit
+         (3, "p q r s t u v"),                             # 7 toks: excluded
+         (4, phrase + " " + phrase),                       # back-to-back
+         (5, phrase + " g1 g2 " + phrase),                 # 2-token gap
+         (6, "z1 z2 z3 z4 z5 z6 z7 z8 z9")],               # unique: absent
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tok, r.n_spans, r.dup_tokens, r.dup_frac_q)
+           for r in DD.duplicate_spans(docs, "doc_id", "text",
+                                       n=8, min_count=2).collect()}
+    assert got == {
+        1: (16, 1, 8, 500_000),
+        2: (12, 1, 8, 666_666),
+        # windows at 0 and 8 recur (within-doc + cross-doc); 8 - 0 == n
+        # so they merge into the single maximal span [0, 15]
+        4: (16, 1, 16, 1_000_000),
+        # gap of 2 non-duplicated tokens -> starts 0 and 10, 10 - 0 > n
+        5: (18, 2, 16, 888_888),
+    }
