@@ -341,6 +341,65 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
                     .alias("dup_frac_q")))
 
 
+def strip_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", *, n: int = 8,
+                          min_count: int = 2) -> DataFrame:
+    """Removal counterpart of :func:`duplicate_spans`: for every doc that
+    holds duplicated spans, drop EVERY token covered by a span and return
+    ``(doc_id, n_tok, kept_tokens, clean_sig)`` where ``clean_sig`` is the
+    md5 of the surviving tokens re-joined with single spaces.  Removing all
+    occurrences (rather than keeping one canonical copy per duplicate
+    cluster) is the deterministic conservative filter — keeping one
+    requires a global occurrence order that a distributed pass has no
+    natural owner for; a production pipeline that wants keep-one runs the
+    component-resolution pass (``connected_components`` above) over span
+    cluster ids first.
+
+    Scale shape: the span list per doc is tiny (it is the per-island
+    aggregate, not the per-position stream), so after re-tokenizing the
+    affected docs the coverage test is a pure map-side
+    ``exists(spans, ...)`` per token — the only addition to the
+    duplicate_spans plan is one broadcast-size equi-join keyed by doc id
+    between the span lists and the (filtered) corpus scan."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col),
+                                           r"\s+", " ")), " ")
+    pos = (docs
+           .select(F.col(id_col).alias("id"), toks.alias("ts"))
+           .filter(F.size("ts") >= n)
+           .select("id",
+                   F.posexplode(F.expr(
+                       f"transform(sequence(0, size(ts) - {int(n)}), "
+                       f"x -> concat_ws(' ', slice(ts, x + 1, {int(n)})))"))
+                   .alias("i", "gram"))
+           .select("id", "i", F.md5("gram").alias("g")))
+    dup = (pos
+           .withColumn("c", F.count(F.lit(1)).over(W.partitionBy("g")))
+           .filter(F.col("c") >= min_count))
+    wd = W.partitionBy("id").orderBy("i")
+    isl = (dup
+           .withColumn("new_isl",
+                       F.when(F.lag("i").over(wd).isNull()
+                              | (F.col("i") - F.lag("i").over(wd)
+                                 > F.lit(n)), 1).otherwise(0))
+           .withColumn("isl", F.sum("new_isl").over(wd)))
+    spans = (isl.groupBy("id", "isl")
+             .agg(F.min("i").alias("s"),
+                  (F.max("i") + F.lit(n - 1)).alias("e"))
+             .groupBy("id")
+             .agg(F.collect_list(F.struct("s", "e")).alias("sp")))
+    base = (docs.select(F.col(id_col).alias("id"), toks.alias("ts"))
+            .filter(F.size("ts") >= n))
+    kept = F.expr(
+        "transform(filter(transform(ts, (t, i) -> struct(t AS t, i AS i)), "
+        "p -> !exists(sp, b -> b.s <= p.i AND p.i <= b.e)), p -> p.t)")
+    return (base.join(spans, "id")
+            .select("id", F.size("ts").alias("n_tok"), kept.alias("kept"))
+            .select(F.col("id").alias(id_col), "n_tok",
+                    F.size("kept").alias("kept_tokens"),
+                    F.md5(F.concat_ws(" ", F.col("kept")))
+                    .alias("clean_sig")))
+
+
 # --------------------------------------------------------------------------- #
 # Dedup group resolution: candidate pairs -> connected components -> keep-list
 # --------------------------------------------------------------------------- #

@@ -2517,6 +2517,64 @@ FROM spans GROUP BY doc_id ORDER BY doc_id
 """)
 
 
+def _q_dedup_spans_clean(spark, sf):
+    """Removal counterpart of `dedup_spans`: every doc that holds
+    duplicated spans re-emitted with ALL covered tokens dropped —
+    kept-token count plus the md5 of the surviving text, so the driver
+    hash pins the exact cleaned corpus, not just its size.  The span list
+    per doc is the per-island aggregate (tiny), so stripping is one
+    doc-id equi-join plus a map-side exists() per token; see
+    operators/dedup.py::strip_duplicate_spans.  DuckDB's
+    array_to_string([]) is NULL where Spark's concat_ws is '' — the
+    oracle COALESCEs so fully-duplicated docs hash identically."""
+    return (DD.strip_duplicate_spans(T(spark, sf, "documents"),
+                                     "doc_id", "text", n=8, min_count=2)
+            .orderBy("doc_id"))
+
+
+_register("dedup_spans_clean", _q_dedup_spans_clean, """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i - 1 AS i,
+         md5(array_to_string(list_slice(ts, i, i + 7), ' ')) AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 7)) AS i) r
+  WHERE len(ts) >= 8
+),
+dup AS (
+  SELECT doc_id, i
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY g) AS c FROM pos)
+  WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN prev_i IS NULL OR i - prev_i > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS isl
+  FROM (SELECT *, LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+        FROM dup)
+),
+spans AS (
+  SELECT doc_id, isl, MIN(i) AS s, MAX(i) + 7 AS e
+  FROM isl GROUP BY doc_id, isl
+),
+sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS sp FROM spans GROUP BY doc_id),
+kept AS (
+  SELECT t.doc_id, len(t.ts) AS n_tok,
+         [t.ts[i] FOR i IN range(1, len(t.ts) + 1)
+          IF len(list_filter(sp.sp, b -> b.s <= i - 1 AND i - 1 <= b.e)) = 0]
+           AS kt
+  FROM toks t JOIN sp USING (doc_id)
+)
+SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+       CAST(len(kt) AS INTEGER) AS kept_tokens,
+       md5(COALESCE(array_to_string(kt, ' '), '')) AS clean_sig
+FROM kept ORDER BY doc_id
+""")
+
+
 def _q_vocab_topk(spark, sf):
     """Vocabulary induction: corpus-wide token frequency table, top 200 by
     count with a deterministic token tie-break — the first step of any
@@ -2793,7 +2851,7 @@ _register("training_mix", _q_training_mix, _training_mix_sql())
 # CODE changed this round (an r04 green row doesn't cover changed code:
 # the map-only lang-ID rewrite, the decontaminate sub-n-gram fix, and the
 # quantized embedding-dedup kernels), then the flagship extraction pair
-# (never displaced).  With 73 entries and a 50-row cap the 23 displaced
+# (never displaced).  With 74 entries and a 50-row cap the 24 displaced
 # are then all unchanged-since-r04 green entries.
 _FRONT = ["audio_decode_stats", "video_frame_stats", "video_ocr_tta",
           "image_rois", "image_rois_nms", "image_orientation",
@@ -2806,7 +2864,7 @@ _FRONT = ["audio_decode_stats", "video_frame_stats", "video_ocr_tta",
           "training_mix",
           "rolling_active_users_approx", "length_quantiles_approx",
           "lang_id_multi", "decontaminate", "quality_perplexity",
-          "dedup_spans",
+          "dedup_spans", "dedup_spans_clean",
           "dedup_embedding", "dedup_embedding_fitted",
           "extract_pipeline_fused", "extract_pipeline_staged"]
 

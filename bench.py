@@ -379,7 +379,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
              "events_sessionize", "events_sessionize_salted",
              "training_mix", "length_quantiles", "lang_id_multi",
              "decontaminate", "vocab_topk", "rolling_active_users",
-             "quality_perplexity", "dedup_spans",
+             "quality_perplexity", "dedup_spans", "dedup_spans_clean",
              # round-5 sketch-tier siblings
              "rolling_active_users_approx", "length_quantiles_approx",
              "dedup_embedding",

@@ -346,3 +346,31 @@ def test_duplicate_spans_island_merge_semantics(spark):
         # gap of 2 non-duplicated tokens -> starts 0 and 10, 10 - 0 > n
         5: (18, 2, 16, 888_888),
     }
+
+
+def test_strip_duplicate_spans_removes_exactly_covered_tokens(spark):
+    """Same hand corpus as the island-merge test, checked against
+    hand-derived survivors: a fully-duplicated doc keeps zero tokens and
+    hashes the EMPTY string (the Spark concat_ws('') / DuckDB
+    array_to_string(NULL) divergence the oracle COALESCEs); partially
+    covered docs keep exactly the uncovered prefix+suffix in order."""
+    import hashlib
+    phrase = "p q r s t u v w"
+    docs = spark.createDataFrame(
+        [(1, "a1 a2  a3\ta4 " + phrase + " b1 b2 b3 b4"),
+         (2, "c1 c2 " + phrase + " c3 c4"),
+         (3, "p q r s t u v"),
+         (4, phrase + " " + phrase),
+         (5, phrase + " g1 g2 " + phrase),
+         (6, "z1 z2 z3 z4 z5 z6 z7 z8 z9")],
+        "doc_id long, text string")
+    sig = lambda s: hashlib.md5(s.encode()).hexdigest()
+    got = {r.doc_id: (r.n_tok, r.kept_tokens, r.clean_sig)
+           for r in DD.strip_duplicate_spans(docs, "doc_id", "text",
+                                             n=8, min_count=2).collect()}
+    assert got == {
+        1: (16, 8, sig("a1 a2 a3 a4 b1 b2 b3 b4")),
+        2: (12, 4, sig("c1 c2 c3 c4")),
+        4: (16, 0, sig("")),
+        5: (18, 2, sig("g1 g2")),
+    }
