@@ -374,3 +374,63 @@ def test_strip_duplicate_spans_removes_exactly_covered_tokens(spark):
         4: (16, 0, sig("")),
         5: (18, 2, sig("g1 g2")),
     }
+
+
+def test_duplicate_spans_randomized_bruteforce_parity(spark):
+    """Randomized guard: deterministic pseudo-random corpora over a
+    4-token alphabet (dense window collisions by construction), checked
+    row-for-row against an independent pure-Python brute force of the
+    whole contract — global window multiset, position marking, island
+    merge, integer micro-division — including the strip pass's survivor
+    text.  Small n (3) and tiny alphabet hit merge chains and
+    fully-duplicated docs that hand-written cases miss."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    n, alphabet = 3, ["a", "b", "c", "d"]
+    docs = []
+    for d in range(40):
+        ln = h(f"len{d}") % 14  # 0..13 tokens: includes sub-n docs
+        docs.append((d, " ".join(alphabet[h(f"t{d}_{j}") % 4]
+                                 for j in range(ln))))
+
+    # pure-python brute force
+    toks = {d: t.split(" ") if t else [""] for d, t in docs}
+    counts: dict[tuple, int] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            w = tuple(ts[i:i + n])
+            counts[w] = counts.get(w, 0) + 1
+    stats, strips = {}, {}
+    for d, ts in toks.items():
+        if len(ts) < n:
+            continue
+        hits = [i for i in range(len(ts) - n + 1)
+                if counts[tuple(ts[i:i + n])] >= 2]
+        if not hits:
+            continue
+        spans, cur = [], [hits[0], hits[0] + n - 1]
+        for i in hits[1:]:
+            if i <= (cur[1] - n + 1) + n:  # next start <= prev start + n
+                cur[1] = i + n - 1
+            else:
+                spans.append(tuple(cur)); cur = [i, i + n - 1]
+        spans.append(tuple(cur))
+        dup = sum(e - s + 1 for s, e in spans)
+        stats[d] = (len(ts), len(spans), dup, dup * 1_000_000 // len(ts))
+        covered = {j for s, e in spans for j in range(s, e + 1)}
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        strips[d] = (len(ts), len(kept),
+                     hashlib.md5(" ".join(kept).encode()).hexdigest())
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tok, r.n_spans, r.dup_tokens, r.dup_frac_q)
+           for r in DD.duplicate_spans(df, "doc_id", "text",
+                                       n=n, min_count=2).collect()}
+    assert got == stats
+    gots = {r.doc_id: (r.n_tok, r.kept_tokens, r.clean_sig)
+            for r in DD.strip_duplicate_spans(df, "doc_id", "text",
+                                              n=n, min_count=2).collect()}
+    assert gots == strips
