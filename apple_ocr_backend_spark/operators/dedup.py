@@ -274,6 +274,40 @@ def benchmark_overlap(corpus: DataFrame, benchmark: DataFrame,
 # templated intros) that doc-level methods cannot see.
 # --------------------------------------------------------------------------- #
 
+def _span_islands(docs: DataFrame, id_col: str, text_col: str,
+                  n: int, min_count: int, *,
+                  with_n_tok: bool) -> DataFrame:
+    """Shared detection chain for the span-dedup pair: tokenize into a
+    materialized attribute, window+hash+posexplode, corpus-recurrence
+    filter (whole-partition count window on the digest), and the
+    lag/running-sum island labelling.  Returns one row per duplicated
+    position with ``(id, [n_tok,] i, isl)`` — the stats and strip entries
+    aggregate it differently but must never drift on the detection
+    semantics themselves."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col),
+                                           r"\s+", " ")), " ")
+    head = (["id", F.size("ts").alias("n_tok")] if with_n_tok else ["id"])
+    pos = (docs
+           .select(F.col(id_col).alias("id"), toks.alias("ts"))
+           .filter(F.size("ts") >= n)
+           .select(*head,
+                   F.posexplode(F.expr(
+                       f"transform(sequence(0, size(ts) - {int(n)}), "
+                       f"x -> concat_ws(' ', slice(ts, x + 1, {int(n)})))"))
+                   .alias("i", "gram"))
+           .withColumn("g", F.md5("gram")).drop("gram"))
+    dup = (pos
+           .withColumn("c", F.count(F.lit(1)).over(W.partitionBy("g")))
+           .filter(F.col("c") >= min_count))
+    wd = W.partitionBy("id").orderBy("i")
+    return (dup
+            .withColumn("new_isl",
+                        F.when(F.lag("i").over(wd).isNull()
+                               | (F.col("i") - F.lag("i").over(wd)
+                                  > F.lit(n)), 1).otherwise(0))
+            .withColumn("isl", F.sum("new_isl").over(wd)))
+
+
 def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", *, n: int = 8,
                     min_count: int = 2) -> DataFrame:
@@ -305,27 +339,8 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     string longer than one window leaves the map side.  Docs shorter than
     ``n`` tokens are excluded at the source (a partial window is not an
     n-gram — same round-4-advice semantics as ``benchmark_overlap``)."""
-    toks = F.split(F.trim(F.regexp_replace(F.col(text_col),
-                                           r"\s+", " ")), " ")
-    pos = (docs
-           .select(F.col(id_col).alias("id"), toks.alias("ts"))
-           .filter(F.size("ts") >= n)
-           .select("id", F.size("ts").alias("n_tok"),
-                   F.posexplode(F.expr(
-                       f"transform(sequence(0, size(ts) - {int(n)}), "
-                       f"x -> concat_ws(' ', slice(ts, x + 1, {int(n)})))"))
-                   .alias("i", "gram"))
-           .select("id", "n_tok", "i", F.md5("gram").alias("g")))
-    dup = (pos
-           .withColumn("c", F.count(F.lit(1)).over(W.partitionBy("g")))
-           .filter(F.col("c") >= min_count))
-    wd = W.partitionBy("id").orderBy("i")
-    isl = (dup
-           .withColumn("new_isl",
-                       F.when(F.lag("i").over(wd).isNull()
-                              | (F.col("i") - F.lag("i").over(wd)
-                                 > F.lit(n)), 1).otherwise(0))
-           .withColumn("isl", F.sum("new_isl").over(wd)))
+    isl = _span_islands(docs, id_col, text_col, n, min_count,
+                        with_n_tok=True)
     spans = (isl.groupBy("id", "isl")
              .agg(F.first("n_tok").alias("n_tok"),
                   F.min("i").alias("s"),
@@ -363,25 +378,8 @@ def strip_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     between the span lists and the (filtered) corpus scan."""
     toks = F.split(F.trim(F.regexp_replace(F.col(text_col),
                                            r"\s+", " ")), " ")
-    pos = (docs
-           .select(F.col(id_col).alias("id"), toks.alias("ts"))
-           .filter(F.size("ts") >= n)
-           .select("id",
-                   F.posexplode(F.expr(
-                       f"transform(sequence(0, size(ts) - {int(n)}), "
-                       f"x -> concat_ws(' ', slice(ts, x + 1, {int(n)})))"))
-                   .alias("i", "gram"))
-           .select("id", "i", F.md5("gram").alias("g")))
-    dup = (pos
-           .withColumn("c", F.count(F.lit(1)).over(W.partitionBy("g")))
-           .filter(F.col("c") >= min_count))
-    wd = W.partitionBy("id").orderBy("i")
-    isl = (dup
-           .withColumn("new_isl",
-                       F.when(F.lag("i").over(wd).isNull()
-                              | (F.col("i") - F.lag("i").over(wd)
-                                 > F.lit(n)), 1).otherwise(0))
-           .withColumn("isl", F.sum("new_isl").over(wd)))
+    isl = _span_islands(docs, id_col, text_col, n, min_count,
+                        with_n_tok=False)
     spans = (isl.groupBy("id", "isl")
              .agg(F.min("i").alias("s"),
                   (F.max("i") + F.lit(n - 1)).alias("e"))
