@@ -22,7 +22,8 @@ DEFAULT = [
     "ann_ivf_nprobe", "dedup_simhash", "sample_split", "pack_sequences",
     "quality_repetition", "pii_mask", "events_asof", "events_sessionize",
     "events_sessionize_salted", "dedup_incremental", "training_mix",
-    "length_quantiles",
+    "length_quantiles", "quality_perplexity", "dedup_spans",
+    "dedup_spans_clean",
 ]
 
 
