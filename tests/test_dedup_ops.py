@@ -434,3 +434,21 @@ def test_duplicate_spans_randomized_bruteforce_parity(spark):
             for r in DD.strip_duplicate_spans(df, "doc_id", "text",
                                               n=n, min_count=2).collect()}
     assert gots == strips
+
+
+def test_span_stats_and_strip_agree_on_real_corpus(spark):
+    """Cross-entry invariant on real data: the strip pass and the stats
+    pass aggregate the same islands through different paths (collect_list
+    + exists() vs min/max + sum), so for every doc kept_tokens must equal
+    n_tok - dup_tokens and the doc sets must match exactly."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    stats = {r.doc_id: (r.n_tok, r.dup_tokens)
+             for r in DD.duplicate_spans(docs, "doc_id", "text",
+                                         n=8, min_count=2).collect()}
+    strip = {r.doc_id: (r.n_tok, r.kept_tokens)
+             for r in DD.strip_duplicate_spans(docs, "doc_id", "text",
+                                               n=8, min_count=2).collect()}
+    assert set(stats) == set(strip)
+    for d, (n_tok, dup) in stats.items():
+        assert strip[d] == (n_tok, n_tok - dup), (d, stats[d], strip[d])
